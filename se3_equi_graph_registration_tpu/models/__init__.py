@@ -1,0 +1,2 @@
+from .egnn import EGCL, EGNN  # noqa: F401
+from .pose_head import RegistrationModel, RegistrationOutputs  # noqa: F401

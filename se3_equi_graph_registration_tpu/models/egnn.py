@@ -1,0 +1,201 @@
+"""SE(3)-equivariant graph network (EGNN) — TPU-native flax implementation.
+
+Capability parity with the reference's `E_GCL` / `EGNN`
+(/root/reference/src/3dmatch_train_egnn_with_batch.py:185-340), redesigned for
+the MXU instead of translated:
+
+- Edges live in a dense k-regular layout [B, N, K] (see ops/knn.py). In the
+  canonical 'center' direction, message aggregation is a sum over the K axis —
+  no scatter. The 'cluster' direction reproduces the reference's torch_cluster
+  edge orientation exactly (aggregation onto the neighbor endpoint) via one
+  flat segment-sum per reduce, for checkpoint-parity evaluation.
+- The reference's `num_heads` independent per-edge MLPs (heads of width
+  hidden/heads over the same 77-d input) are algebraically fused: first layers
+  concatenate into ONE [77, hidden] matmul; second layers form a block-diagonal
+  [heads, w, w] einsum. Identical math, one MXU pass.
+- Per-edge geometry (radial, dist, dot, SO(3) frame) comes from the fused
+  ops/edge_geometry.py pass instead of three separate helpers per layer.
+
+Feature concat order matches the reference exactly (:238):
+  [h_row, h_col, radial, dist, dot, so3(9), edge_attr]  → 77-d for hidden 32.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.edge_geometry import edge_geometry, gather_neighbors
+from ..ops.segment import kregular_mean, kregular_sum
+
+Array = jax.Array
+
+
+def _aggregate(messages: Array, nbr_idx: Array, direction: str,
+               num_nodes: int, mask: Optional[Array], reduce: str = "sum") -> Array:
+    """Aggregate per-edge messages [B, N, K, C] → per-node [B, N, C].
+
+    'center': receivers are the centers — reduce over K (reshape-sum).
+    'cluster': receivers are the neighbors — one flat segment-sum with
+    batch-offset ids (the fixed version of the reference's get_edges_batch
+    index shifting, :380-403).
+    """
+    if direction == "center":
+        if reduce == "sum":
+            return kregular_sum(messages, mask)
+        return kregular_mean(messages, mask)
+
+    b, n, k, c = messages.shape
+    if mask is not None:
+        messages = messages * mask[..., None].astype(messages.dtype)
+    offsets = (jnp.arange(b, dtype=jnp.int32) * num_nodes)[:, None, None]
+    ids = (nbr_idx + offsets).reshape(b * n * k)
+    flat = messages.reshape(b * n * k, c)
+    out = jax.ops.segment_sum(flat, ids, num_segments=b * num_nodes)
+    if reduce == "mean":
+        cnt = jax.ops.segment_sum(
+            jnp.ones((b * n * k,), dtype=messages.dtype), ids, num_segments=b * num_nodes
+        )
+        out = out / jnp.maximum(cnt, 1.0)[:, None]
+    return out.reshape(b, num_nodes, c)
+
+
+class MultiHeadEdgeMLP(nn.Module):
+    """Fused version of the reference's ModuleList of per-head edge MLPs (:202-208).
+
+    Each head h computes Linear(F→w) → act → Linear(w→w) with w = hidden/heads;
+    outputs concatenate to `hidden`. Fused: one [F, hidden] matmul, then a
+    block-diagonal [heads, w, w] contraction.
+    """
+    hidden_nf: int
+    num_heads: int
+    act: Callable = nn.silu
+
+    @nn.compact
+    def __call__(self, feats: Array) -> Array:
+        w = self.hidden_nf // self.num_heads
+        y = nn.Dense(self.hidden_nf, name="fused_in")(feats)           # [..., hidden]
+        y = self.act(y)
+        y = y.reshape(y.shape[:-1] + (self.num_heads, w))
+        kernel = self.param(
+            "head_kernels", nn.initializers.lecun_normal(), (self.num_heads, w, w),
+            feats.dtype if jnp.issubdtype(feats.dtype, jnp.floating) else jnp.float32,
+        )
+        bias = self.param("head_biases", nn.initializers.zeros, (self.num_heads, w))
+        y = jnp.einsum("...hw,hwv->...hv", y, kernel) + bias
+        return y.reshape(y.shape[:-2] + (self.hidden_nf,))
+
+
+class EGCL(nn.Module):
+    """One equivariant graph convolution layer (reference E_GCL, :185-289)."""
+    input_nf: int
+    output_nf: int
+    hidden_nf: int
+    edge_attr_dim: int = 1
+    num_heads: int = 4
+    residual: bool = True
+    coords_agg: str = "sum"          # reference uses unsorted_segment_sum (:265)
+    direction: str = "center"
+    so3_mode: str = "frame"          # 'frame' (reference parity) | 'invariant'
+    act: Callable = nn.silu
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, nbr_idx: Array,
+                 edge_attr: Optional[Array] = None,
+                 edge_mask: Optional[Array] = None) -> tuple[Array, Array]:
+        b, n, k = nbr_idx.shape
+
+        geom = edge_geometry(x, nbr_idx, direction=self.direction, so3_mode=self.so3_mode)
+
+        h_nbr = gather_neighbors(h, nbr_idx)                    # [B,N,K,C]
+        h_center = jnp.broadcast_to(h[..., :, None, :], h_nbr.shape)
+        if self.direction == "center":
+            h_row, h_col = h_center, h_nbr
+        else:
+            h_row, h_col = h_nbr, h_center
+
+        feats = [h_row, h_col, geom.radial, geom.dist, geom.dot, geom.so3]
+        if edge_attr is not None:
+            feats.append(edge_attr)
+        edge_in = jnp.concatenate(feats, axis=-1)
+
+        m = MultiHeadEdgeMLP(self.hidden_nf, self.num_heads, self.act,
+                             name="edge_mlp")(edge_in)
+        m = nn.LayerNorm(name="layer_norm")(m)
+
+        # Coordinate stream: x_row += Σ rel · φ_x(m)   (reference coord_model :262-268)
+        scale = nn.Dense(self.hidden_nf, name="coord_mlp_0")(m)
+        scale = self.act(scale)
+        scale = nn.Dense(
+            1, use_bias=False, name="coord_mlp_out",
+            kernel_init=nn.initializers.variance_scaling(
+                # xavier_uniform with gain 1e-3, as the reference initializes (:220)
+                scale=1e-6, mode="fan_avg", distribution="uniform"),
+        )(scale)
+        trans = geom.rel * scale
+        x = x + _aggregate(trans, nbr_idx, self.direction, n, edge_mask,
+                           reduce=self.coords_agg)
+
+        # Node stream: h += MLP([h, Σ m])               (reference node_model :252-260)
+        agg = _aggregate(m, nbr_idx, self.direction, n, edge_mask)
+        out = jnp.concatenate([h, agg], axis=-1)
+        out = nn.Dense(self.hidden_nf, name="node_mlp_0")(out)
+        out = self.act(out)
+        out = nn.Dense(self.output_nf, name="node_mlp_1")(out)
+        if self.residual:
+            out = h + out
+        return out, x
+
+
+class EGNN(nn.Module):
+    """Embedding → n_layers × EGCL → output embedding (reference EGNN, :293-340).
+
+    Inputs are batched dense graphs:
+      h [B, N, in_node_nf], x [B, N, 3], nbr_idx [B, N, K] int32,
+      edge_attr [B, N, K, edge_attr_dim] or None (defaults to ones, matching the
+      reference's all-ones edge_attr from get_edges_batch :387),
+      edge_mask [B, N, K] optional (1 = real edge), for padded graphs.
+    Returns (h [B, N, out_node_nf], x [B, N, 3]).
+    """
+    in_node_nf: int = 32
+    hidden_nf: int = 32
+    out_node_nf: int = 32
+    edge_attr_dim: int = 1
+    n_layers: int = 3
+    num_heads: int = 4
+    residual: bool = True
+    direction: str = "center"
+    so3_mode: str = "frame"
+    act: Callable = nn.silu
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, nbr_idx: Array,
+                 edge_attr: Optional[Array] = None,
+                 edge_mask: Optional[Array] = None) -> tuple[Array, Array]:
+        squeeze = h.ndim == 2
+        if squeeze:  # accept single graphs [N, ...]
+            h, x, nbr_idx = h[None], x[None], nbr_idx[None]
+            if edge_attr is not None:
+                edge_attr = edge_attr[None]
+            if edge_mask is not None:
+                edge_mask = edge_mask[None]
+
+        if edge_attr is None and self.edge_attr_dim:
+            edge_attr = jnp.ones(nbr_idx.shape + (self.edge_attr_dim,), dtype=h.dtype)
+
+        h = nn.Dense(self.hidden_nf, name="embedding_in")(h)
+        for i in range(self.n_layers):
+            h, x = EGCL(
+                input_nf=self.hidden_nf, output_nf=self.hidden_nf,
+                hidden_nf=self.hidden_nf, edge_attr_dim=self.edge_attr_dim,
+                num_heads=self.num_heads, residual=self.residual,
+                direction=self.direction, so3_mode=self.so3_mode,
+                act=self.act, name=f"gcl_{i}",
+            )(h, x, nbr_idx, edge_attr, edge_mask)
+        h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
+
+        if squeeze:
+            return h[0], x[0]
+        return h, x

@@ -1,0 +1,169 @@
+"""Pose-regression head: shared EGNN over both clouds + correspondence scoring
++ weighted-Kabsch SVD solve.
+
+Capability parity with the reference's `CrossAttentionPoseRegression`
+(/root/reference/src/3dmatch_train_egnn_with_batch.py:585-796 — train head) and
+its eval variant with score-fusion weighting
+(/root/reference/src/eval_egnn_metrics.py:594-827), redesigned TPU-first:
+
+- the per-batch-element Python loops over EGNN passes (:645-669) and Kabsch
+  solves (:702-757) become batched dense ops — the whole head jits as one
+  static-shape program, so batch>1 works by construction (the reference is
+  only correct at batch 1, README.md:19);
+- boolean-mask indexing becomes masked softmax weights (ops/kabsch.py);
+- losses are computed OUTSIDE the model (train/losses.py) from the returned
+  `RegistrationOutputs`, keeping the module a pure function.
+
+The unused-but-checkpointed auxiliary heads (shared_mlp_decoder, shallow_mlp_pose,
+bn1/bn2; reference :602-618) are deliberately not reimplemented — they do not
+participate in any forward path (SURVEY.md §2.1).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.kabsch import kabsch_weighted, masked_softmax
+from .egnn import EGNN
+
+Array = jax.Array
+
+
+class RegistrationOutputs(NamedTuple):
+    R: Array                  # [B, 3, 3] predicted rotation
+    t: Array                  # [B, 3] predicted translation
+    scores: Array             # [B, top_k] correspondence logits (train head)
+    top_labels: Array         # [B, top_k] labels gathered at top-k indices
+    top_indices: Array        # [B, top_k]
+    similarity: Array         # [B, N] post-EGNN feature similarity
+    raw_similarity: Array     # [B, N] pre-EGNN feature similarity
+    h_src: Array              # [B, N, C] post-EGNN source features
+    x_src: Array              # [B, N, 3] post-EGNN source coords
+    h_tgt: Array              # [B, N, C]
+    x_tgt: Array              # [B, N, 3]
+
+
+def _batched_gather(values: Array, idx: Array) -> Array:
+    """Gather rows [B, N, C] (or [B, N]) at idx [B, K] → [B, K, C] / [B, K]."""
+    if values.ndim == 2:
+        return jnp.take_along_axis(values, idx, axis=1)
+    return jnp.take_along_axis(values, idx[..., None], axis=1)
+
+
+class ScoreMLP(nn.Module):
+    """Correspondence-score MLP 2H → H → H/2 → 1 (reference :594-600)."""
+    hidden_nf: int
+
+    @nn.compact
+    def __call__(self, feats: Array) -> Array:
+        y = nn.Dense(self.hidden_nf, name="dense_0")(feats)
+        y = nn.relu(y)
+        y = nn.Dense(self.hidden_nf // 2, name="dense_1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(1, name="dense_2")(y)
+        return y[..., 0]
+
+
+class RegistrationModel(nn.Module):
+    """End-to-end correspondence-graph registration model."""
+    num_nodes: int = 2048
+    hidden_nf: int = 32
+    in_node_nf: int = 32
+    n_layers: int = 3
+    num_heads: int = 4
+    top_k: int = 128
+    edge_attr_dim: int = 1
+    direction: str = "center"
+    so3_mode: str = "frame"
+    head_mode: str = "train"   # 'train' | 'eval_fusion'
+
+    def setup(self):
+        self.egnn = EGNN(
+            in_node_nf=self.in_node_nf, hidden_nf=self.hidden_nf,
+            out_node_nf=self.hidden_nf, edge_attr_dim=self.edge_attr_dim,
+            n_layers=self.n_layers, num_heads=self.num_heads,
+            direction=self.direction, so3_mode=self.so3_mode, name="egnn",
+        )
+        self.score_mlp = ScoreMLP(self.hidden_nf, name="mlp")
+
+    def __call__(self, h_src: Array, x_src: Array, nbr_src: Array,
+                 h_tgt: Array, x_tgt: Array, nbr_tgt: Array,
+                 labels: Array,
+                 edge_mask_src: Optional[Array] = None,
+                 edge_mask_tgt: Optional[Array] = None) -> RegistrationOutputs:
+        """h_*: [B, N, C_in]; x_*: [B, N, 3]; nbr_*: [B, N, K]; labels: [B, N]."""
+        raw_h_src, raw_h_tgt = h_src, h_tgt
+        raw_x_src, raw_x_tgt = x_src, x_tgt
+
+        # ONE shared-weight EGNN applied to both clouds, batched — the two
+        # calls share parameters exactly like the reference's single egnn
+        # module invoked twice (:662-663).
+        h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
+        h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)
+
+        similarity = jnp.sum(h_src * h_tgt, axis=-1)          # [B, N]
+        raw_similarity = jnp.sum(raw_h_src * raw_h_tgt, axis=-1)
+
+        if self.head_mode == "eval_fusion":
+            return self._eval_head(
+                raw_similarity, similarity, h_src, x_src, h_tgt, x_tgt,
+                raw_x_src, raw_x_tgt, labels)
+
+        # --- train head (reference :679-796) ---
+        _, top_idx = jax.lax.top_k(similarity, self.top_k)
+        comp_h_src = _batched_gather(h_src, top_idx)          # [B, k, C]
+        comp_h_tgt = _batched_gather(h_tgt, top_idx)
+        top_labels = _batched_gather(labels, top_idx)
+
+        scores = self.score_mlp(jnp.concatenate([comp_h_src, comp_h_tgt], axis=-1))
+
+        # Weighted Kabsch over label-valid correspondences, post-EGNN geometry.
+        weight_scores = jnp.sum(h_src * h_tgt, axis=-1)
+        weights = masked_softmax(weight_scores, labels)
+        R, t = kabsch_weighted(x_src, x_tgt, weights)
+
+        return RegistrationOutputs(
+            R=R, t=t, scores=scores, top_labels=top_labels, top_indices=top_idx,
+            similarity=similarity, raw_similarity=raw_similarity,
+            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt,
+        )
+
+    def _eval_head(self, raw_similarity, similarity, h_src, x_src, h_tgt, x_tgt,
+                   raw_x_src, raw_x_tgt, labels) -> RegistrationOutputs:
+        """Score-fusion eval head (/root/reference/src/eval_egnn_metrics.py:689-818).
+
+        Top-k selection uses the PRE-EGNN similarity; the score MLP's sigmoid-
+        free logits replace raw similarities where they are confident
+        (conditions :761-764); fused weights scatter back over all N points,
+        are sum-normalized then softmaxed, and Kabsch runs over the ORIGINAL
+        coordinates of the full clouds (:786-818).
+        """
+        b, n = raw_similarity.shape
+        _, top_idx = jax.lax.top_k(raw_similarity, self.top_k)
+        comp_h_src = _batched_gather(h_src, top_idx)
+        comp_h_tgt = _batched_gather(h_tgt, top_idx)
+        top_labels = _batched_gather(labels, top_idx)
+
+        pred_scores = self.score_mlp(jnp.concatenate([comp_h_src, comp_h_tgt], axis=-1))
+        raw_topk = _batched_gather(raw_similarity, top_idx)
+
+        confident = pred_scores > 0.5
+        cond1 = confident & (jnp.abs(pred_scores - 1.0) < raw_topk)
+        cond2 = confident & (pred_scores < raw_topk)
+        fused_topk = jnp.where(cond1 | cond2, pred_scores, raw_topk)
+
+        # Scatter fused top-k weights back into the full-N similarity vector.
+        fused = jax.vmap(lambda s, i, v: s.at[i].set(v))(raw_similarity, top_idx, fused_topk)
+        fused = fused / (jnp.sum(fused, axis=-1, keepdims=True) + 1e-6)
+        weights = jax.nn.softmax(fused, axis=-1)
+
+        R, t = kabsch_weighted(raw_x_src, raw_x_tgt, weights)
+
+        return RegistrationOutputs(
+            R=R, t=t, scores=pred_scores, top_labels=top_labels, top_indices=top_idx,
+            similarity=similarity, raw_similarity=raw_similarity,
+            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt,
+        )

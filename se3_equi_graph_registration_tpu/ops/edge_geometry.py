@@ -1,0 +1,137 @@
+"""Fused per-edge geometric features for the EGNN.
+
+One pass computes everything the reference recomputes inside *every* E_GCL layer
+(`compute_edge_features` /root/reference/src/3dmatch_train_egnn_with_batch.py:176-181,
+`compute_so3_matrix` :128-173, `coord2radial` :271-278):
+
+  rel      = x_row − x_col                      [..., N, K, 3]
+  radial   = ‖rel‖²                             [..., N, K, 1]
+  dist     = ‖rel‖                              [..., N, K, 1]
+  dot      = x_row · x_col                      [..., N, K, 1]
+  so3      = flattened local frame [a|b|c]      [..., N, K, 9]
+             a = rel/‖rel‖, b = (x_row × x_col)/‖·‖, c = a × b,
+             degenerate frames replaced by identity via `where`
+             (no boolean scatter — the reference uses masked assignment).
+
+Geometry depends only on coordinates; since the EGNN's coordinate stream
+updates x every layer, the caller recomputes these per layer — but fused, on
+dense [N,K] tiles, instead of the reference's four separate gather+cat passes.
+
+`direction` controls which endpoint plays 'row' (the aggregation target in the
+reference concat order [h_row, h_col, radial, dist, dot, so3, edge_attr]):
+  'center'  → row = center i, col = neighbor j   (canonical, fast aggregation)
+  'cluster' → row = neighbor j, col = center i   (torch_cluster parity)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .numerics import safe_norm, safe_normalize, safe_sqrt, zero_at_zero_sqrt
+
+Array = jax.Array
+
+_EPS = 1e-8
+_DEGEN_THRESHOLD = 1e-6
+
+
+class EdgeGeometry(NamedTuple):
+    rel: Array      # [..., N, K, 3]  x_row − x_col
+    radial: Array   # [..., N, K, 1]  ‖rel‖²
+    dist: Array     # [..., N, K, 1]  ‖rel‖
+    dot: Array      # [..., N, K, 1]  x_row · x_col
+    so3: Array      # [..., N, K, 9]  local frame, flattened row-major
+
+
+def gather_neighbors(values: Array, nbr_idx: Array) -> Array:
+    """Gather per-node values [..., N, C] at neighbor indices [..., N, K] → [..., N, K, C]."""
+    return jnp.take_along_axis(values[..., :, None, :], nbr_idx[..., None], axis=-3)
+
+
+def so3_edge_frame(x_row: Array, x_col: Array) -> Array:
+    """Per-edge local SO(3) frame, flattened to 9 features.
+
+    Semantics of /root/reference/src/3dmatch_train_egnn_with_batch.py:128-173:
+    columns (a, b, c) with a = normalize(x_row − x_col), b = normalize(x_row × x_col),
+    c = a × b; any near-degenerate frame (self-loops, collinear points) becomes
+    the identity. Flattening is row-major of the stacked-by-column matrix, i.e.
+    feature layout [a0,b0,c0, a1,b1,c1, a2,b2,c2].
+    """
+    rel = x_row - x_col
+    rel_n = safe_normalize(rel, eps=_EPS)
+    cross = jnp.cross(x_row, x_col)
+    cross_n = safe_normalize(cross, eps=_EPS)
+    c = jnp.cross(rel_n, cross_n)
+
+    degenerate = (
+        (safe_norm(rel_n) < _DEGEN_THRESHOLD)
+        | (safe_norm(cross_n) < _DEGEN_THRESHOLD)
+        | (safe_norm(c) < _DEGEN_THRESHOLD)
+    )
+    frame = jnp.stack([rel_n, cross_n, c], axis=-1)  # [..., 3(row), 3(col=a,b,c)]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=frame.dtype), frame.shape)
+    frame = jnp.where(degenerate[..., None, None], eye, frame)
+    return frame.reshape(frame.shape[:-2] + (9,))
+
+
+def so3_invariant_features(x_row: Array, x_col: Array) -> Array:
+    """Strictly rotation-invariant 9-d replacement for the raw frame features.
+
+    NOTE: the reference feeds the raw frame axes (which ROTATE with the input)
+    into the edge MLP, so its h-stream is not exactly SO(3)-invariant despite
+    the model's name. This mode keeps the same 9-wide slot (weight-compatible
+    layer shapes) but uses Gram-type invariants of (x_row, x_col):
+    all are functions of ‖x_row‖², ‖x_col‖², x_row·x_col — invariant by
+    construction, making the full EGNN exactly rotation-equivariant.
+    """
+    r2_row = jnp.sum(x_row * x_row, axis=-1)
+    r2_col = jnp.sum(x_col * x_col, axis=-1)
+    dot = jnp.sum(x_row * x_col, axis=-1)
+    cross2 = jnp.maximum(r2_row * r2_col - dot * dot, 0.0)   # ‖x_row × x_col‖²
+    rel2 = jnp.maximum(r2_row + r2_col - 2.0 * dot, 0.0)     # ‖rel‖²
+    cos = dot / safe_sqrt(r2_row * r2_col, 1e-12)
+    feats = jnp.stack([
+        safe_sqrt(r2_row),
+        safe_sqrt(r2_col),
+        dot,
+        safe_sqrt(cross2),
+        safe_sqrt(rel2),
+        cos,
+        r2_row - r2_col,
+        safe_sqrt(cross2) / jnp.maximum(rel2, 1e-8),
+        jnp.ones_like(dot),
+    ], axis=-1)
+    return feats
+
+
+def edge_geometry(x: Array, nbr_idx: Array, direction: str = "center",
+                  so3_mode: str = "frame") -> EdgeGeometry:
+    """Compute all per-edge geometric features on the dense [N,K] layout.
+
+    x: [..., N, 3]; nbr_idx: [..., N, K] (int32). Returns EdgeGeometry whose
+    'row'/'col' roles follow `direction` (see module docstring).
+    so3_mode='frame' reproduces the reference's raw frame axes; 'invariant'
+    substitutes rotation-invariant features of the same width.
+    """
+    x_center = x[..., :, None, :]                     # [..., N, 1, 3]
+    x_nbr = gather_neighbors(x, nbr_idx)              # [..., N, K, 3]
+    if direction == "center":
+        x_row, x_col = jnp.broadcast_to(x_center, x_nbr.shape), x_nbr
+    elif direction == "cluster":
+        x_row, x_col = x_nbr, jnp.broadcast_to(x_center, x_nbr.shape)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    rel = x_row - x_col
+    radial = jnp.sum(rel * rel, axis=-1, keepdims=True)
+    dist = zero_at_zero_sqrt(radial)
+    dot = jnp.sum(x_row * x_col, axis=-1, keepdims=True)
+    if so3_mode == "frame":
+        so3 = so3_edge_frame(x_row, x_col)
+    elif so3_mode == "invariant":
+        so3 = so3_invariant_features(x_row, x_col)
+    else:
+        raise ValueError(f"unknown so3_mode {so3_mode!r}")
+    return EdgeGeometry(rel=rel, radial=radial, dist=dist, dot=dot, so3=so3)

@@ -1,0 +1,91 @@
+"""Weighted Kabsch / differentiable-SVD rigid pose solve, batched for TPU.
+
+Replaces the reference's per-batch-element Python loop with boolean indexing
+(/root/reference/src/3dmatch_train_egnn_with_batch.py:702-758) by a fully
+vmapped, fixed-shape formulation:
+
+- validity is expressed as weights (masked softmax), not data-dependent slicing;
+- the 3x3 SVD runs in float32 (TPU-safe) and is differentiable end-to-end —
+  the reference backprops through torch.linalg.svd the same way;
+- the det(R)<0 reflection fix is a `where` on the sign, not Python control flow;
+- empty masks degrade to (I, 0) exactly like the reference's empty-batch branch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def masked_softmax(scores: Array, mask: Array, axis: int = -1) -> Array:
+    """Softmax over `scores` restricted to mask==1; all-zero masks return zeros."""
+    mask = mask.astype(scores.dtype)
+    neg = jnp.finfo(scores.dtype).min
+    masked_scores = jnp.where(mask > 0, scores, neg)
+    # stabilize: subtract max over the valid set (or 0 if empty)
+    m = jnp.max(masked_scores, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(masked_scores - m) * mask
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, 1e-30)
+
+
+def kabsch_weighted(src: Array, tgt: Array, weights: Array,
+                    eps_reg: float = 1e-6) -> tuple[Array, Array]:
+    """Weighted rigid alignment: find (R, t) minimizing Σ wᵢ‖R srcᵢ + t − tgtᵢ‖².
+
+    src/tgt: [..., N, 3]; weights: [..., N] (need not be normalized; all-zero
+    weight rows yield (I, 0)). Returns R [..., 3, 3], t [..., 3].
+
+    Matches the reference numerics: weights renormalized with +1e-6 on the sum
+    (:724), H accumulated with weight outer products + 1e-6·I regularization
+    (:732-738), R = Vᵀᵀ Uᵀ with last-row sign flip when det < 0 (:746-751),
+    t = c_tgt − R c_src (:754).
+    """
+    in_dtype = src.dtype
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+    w = weights.astype(jnp.float32)
+
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    empty = wsum <= 0.0
+    w = w / (wsum + 1e-6)
+
+    src_centroid = jnp.sum(w[..., None] * src, axis=-2, keepdims=True)
+    tgt_centroid = jnp.sum(w[..., None] * tgt, axis=-2, keepdims=True)
+    src_c = src - src_centroid
+    tgt_c = tgt - tgt_centroid
+
+    # H = Σ wᵢ srcᵢ tgtᵢᵀ : a single 3xN @ Nx3 contraction per batch element.
+    H = jnp.einsum("...n,...ni,...nj->...ij", w, src_c, tgt_c)
+    H = H + eps_reg * jnp.eye(3, dtype=H.dtype)
+
+    U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
+    V = jnp.swapaxes(Vt, -1, -2)
+    det = jnp.linalg.det(V @ jnp.swapaxes(U, -1, -2))
+    # Flip the last column of V (== last row of Vt) where det < 0.
+    flip = jnp.where(det < 0, -1.0, 1.0)
+    V = V.at[..., :, 2].multiply(flip[..., None])
+    R = V @ jnp.swapaxes(U, -1, -2)
+
+    t = tgt_centroid[..., 0, :] - jnp.einsum("...ij,...j->...i", R, src_centroid[..., 0, :])
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    R = jnp.where(empty[..., None], eye, R)
+    t = jnp.where(empty, jnp.zeros_like(t), t)
+    return R.astype(in_dtype), t.astype(in_dtype)
+
+
+def kabsch_from_features(src_pts: Array, tgt_pts: Array,
+                         src_feat: Array, tgt_feat: Array,
+                         valid_mask: Array) -> tuple[Array, Array]:
+    """The reference's train-head pose solve as one fused op.
+
+    Weights = softmax over feature dot products restricted to valid (label==1)
+    correspondences (/root/reference/src/3dmatch_train_egnn_with_batch.py:717-724).
+    src_pts/tgt_pts: [..., N, 3]; src_feat/tgt_feat: [..., N, C]; valid_mask [..., N].
+    """
+    scores = jnp.sum(src_feat * tgt_feat, axis=-1)
+    weights = masked_softmax(scores, valid_mask)
+    return kabsch_weighted(src_pts, tgt_pts, weights)

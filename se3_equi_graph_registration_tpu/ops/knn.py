@@ -1,0 +1,100 @@
+"""Fixed-shape k-NN graph construction for TPU.
+
+Replaces the reference's per-batch-element torch_cluster `knn_graph` calls
+(/root/reference/src/3dmatch_train_egnn_with_batch.py:996-1013) with a dense,
+static-shape formulation: pairwise squared distances ride the MXU as a matmul,
+neighbor selection is `jax.lax.top_k`, and the whole thing vmaps over the batch.
+
+The graph is represented densely as ``nbr_idx [..., N, K]`` — for every point i,
+the indices of its K nearest neighbors (self included when ``include_self=True``,
+matching torch_cluster ``loop=True`` in the reference train loop). This k-regular
+layout is the key TPU design choice: downstream message aggregation in the
+canonical ('center') direction becomes a reshape + sum over the K axis — no
+scatter at all.
+
+For clouds larger than ~4K points, `knn_tiled` computes the same result in
+row-tiles so the full [N,N] distance matrix never materializes in HBM at once.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def pairwise_sq_dists(x: Array, y: Array) -> Array:
+    """Squared Euclidean distances [..., N, M] between x [..., N, 3] and y [..., M, 3].
+
+    Uses the ‖x‖² − 2x·y + ‖y‖² expansion so the cross term is a single MXU matmul.
+    """
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # [...,N,1]
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)          # [...,M,1]
+    cross = jnp.einsum("...nd,...md->...nm", x, y)
+    d2 = x2 - 2.0 * cross + jnp.swapaxes(y2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def knn_graph(x: Array, k: int, include_self: bool = True) -> Array:
+    """Dense k-NN: returns nbr_idx [..., N, K] of the k nearest points to each row.
+
+    include_self=True keeps the zero-distance self match (torch_cluster loop=True
+    parity); include_self=False masks the diagonal before selection.
+    """
+    n = x.shape[-2]
+    d2 = pairwise_sq_dists(x, x)
+    if not include_self:
+        eye = jnp.eye(n, dtype=bool)
+        d2 = jnp.where(eye, jnp.inf, d2)
+    # top_k on negated distances == k smallest. Ties broken by lowest index,
+    # which also guarantees the self match (d=0) is selected when included.
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "include_self", "tile"))
+def knn_tiled(x: Array, k: int, include_self: bool = True, tile: int = 1024) -> Array:
+    """Row-tiled k-NN for large N: processes `tile` query rows at a time with
+    `lax.map`, so peak memory is O(tile·N) instead of O(N²). Same result as
+    `knn_graph`. N must be divisible by `tile`.
+    """
+    n = x.shape[-2]
+    assert n % tile == 0, f"N={n} must be divisible by tile={tile}"
+    num_tiles = n // tile
+
+    def one_tile(i):
+        rows = jax.lax.dynamic_slice_in_dim(x, i * tile, tile, axis=-2)
+        d2 = pairwise_sq_dists(rows, x)  # [tile, N]
+        if not include_self:
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0) + i * tile
+            d2 = jnp.where(col == row, jnp.inf, d2)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32)
+
+    idx = jax.lax.map(one_tile, jnp.arange(num_tiles))
+    return idx.reshape(x.shape[:-2] + (n, k))
+
+
+def nbr_to_edge_list(nbr_idx: Array, direction: str = "center") -> tuple[Array, Array]:
+    """Flatten a dense neighbor table to a (row, col) edge list [E], E = N*K.
+
+    direction='center': row = receiving center i, col = neighbor j — the
+      canonical EGNN convention (aggregate onto the query point).
+    direction='cluster': row = neighbor j, col = center i — byte-parity with
+      torch_cluster knn_graph(flow='source_to_target') as consumed by the
+      reference E_GCL (/root/reference/src/3dmatch_train_egnn_with_batch.py:253,
+      aggregation target = edge_index[0]).
+    """
+    n, k = nbr_idx.shape[-2], nbr_idx.shape[-1]
+    centers = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], nbr_idx.shape[-2:]
+    ).reshape(nbr_idx.shape[:-2] + (n * k,))
+    nbrs = nbr_idx.reshape(nbr_idx.shape[:-2] + (n * k,))
+    if direction == "center":
+        return centers, nbrs
+    if direction == "cluster":
+        return nbrs, centers
+    raise ValueError(f"unknown direction {direction!r}")

@@ -1,0 +1,136 @@
+"""Tests for k-NN graph construction, segment ops, and edge geometry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_equi_graph_registration_tpu.ops import edge_geometry, knn, segment
+
+
+def _brute_knn(x: np.ndarray, k: int, include_self=True) -> np.ndarray:
+    d = np.linalg.norm(x[:, None] - x[None], axis=-1)
+    if not include_self:
+        np.fill_diagonal(d, np.inf)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def test_knn_matches_bruteforce(rng):
+    x = rng.standard_normal((256, 3)).astype(np.float32)
+    k = 16
+    got = np.asarray(knn.knn_graph(jnp.asarray(x), k))
+    want = _brute_knn(x, k)
+    # compare as sets per row (tie order may differ)
+    for i in range(x.shape[0]):
+        assert set(got[i]) == set(want[i]), f"row {i}"
+    # self-loop included: each row contains its own index
+    assert all(i in got[i] for i in range(x.shape[0]))
+
+
+def test_knn_no_self(rng):
+    x = rng.standard_normal((128, 3)).astype(np.float32)
+    got = np.asarray(knn.knn_graph(jnp.asarray(x), 8, include_self=False))
+    assert not any(i in got[i] for i in range(x.shape[0]))
+
+
+def test_knn_tiled_equals_dense(rng):
+    x = rng.standard_normal((512, 3)).astype(np.float32)
+    dense = np.asarray(knn.knn_graph(jnp.asarray(x), 12))
+    tiled = np.asarray(knn.knn_tiled(jnp.asarray(x), 12, tile=128))
+    for i in range(x.shape[0]):
+        assert set(dense[i]) == set(tiled[i])
+
+
+def test_knn_batched_vmap(rng):
+    x = rng.standard_normal((4, 128, 3)).astype(np.float32)
+    got = np.asarray(jax.vmap(lambda xx: knn.knn_graph(xx, 8))(jnp.asarray(x)))
+    for b in range(4):
+        want = _brute_knn(x[b], 8)
+        for i in range(128):
+            assert set(got[b, i]) == set(want[i])
+
+
+def test_segment_sum_matches_scatter(rng):
+    data = rng.standard_normal((100, 7)).astype(np.float32)
+    ids = rng.integers(0, 20, size=100)
+    got = np.asarray(segment.segment_sum(jnp.asarray(data), jnp.asarray(ids), 20))
+    want = np.zeros((20, 7), np.float32)
+    np.add.at(want, ids, data)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_segment_mean_empty_segments(rng):
+    data = np.ones((4, 2), np.float32)
+    ids = np.array([0, 0, 3, 3])
+    got = np.asarray(segment.segment_mean(jnp.asarray(data), jnp.asarray(ids), 5))
+    np.testing.assert_allclose(got[0], [1, 1])
+    np.testing.assert_allclose(got[1], [0, 0])  # empty → 0, no NaN
+    np.testing.assert_allclose(got[3], [1, 1])
+
+
+def test_kregular_sum_equals_segment_sum(rng):
+    n, k, c = 32, 4, 5
+    msgs = rng.standard_normal((1, n, k, c)).astype(np.float32)
+    got = np.asarray(segment.kregular_sum(jnp.asarray(msgs)))[0]
+    want = msgs[0].sum(axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_kregular_sum_mask(rng):
+    msgs = np.ones((1, 3, 4, 2), np.float32)
+    mask = np.zeros((1, 3, 4), np.float32)
+    mask[0, :, :2] = 1
+    got = np.asarray(segment.kregular_sum(jnp.asarray(msgs), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, np.full((1, 3, 2), 2.0))
+
+
+def test_edge_geometry_values(rng):
+    x = rng.standard_normal((1, 16, 3)).astype(np.float32)
+    nbr = np.asarray(knn.knn_graph(jnp.asarray(x[0]), 4))[None]
+    geom = edge_geometry.edge_geometry(jnp.asarray(x), jnp.asarray(nbr))
+    xi = x[0][:, None, :]
+    xj = x[0][nbr[0]]
+    rel = xi - xj
+    np.testing.assert_allclose(np.asarray(geom.rel)[0], rel, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(geom.radial)[0, ..., 0],
+                               (rel ** 2).sum(-1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(geom.dot)[0, ..., 0],
+                               (xi * xj).sum(-1), atol=1e-5)
+
+
+def test_so3_frame_orthonormal_and_degenerate(rng):
+    x = rng.standard_normal((1, 32, 3)).astype(np.float32)
+    nbr = np.asarray(knn.knn_graph(jnp.asarray(x[0]), 4))[None]
+    geom = edge_geometry.edge_geometry(jnp.asarray(x), jnp.asarray(nbr))
+    so3 = np.asarray(geom.so3).reshape(32, 4, 3, 3)
+    # self-loop edges (first neighbor) must be identity frames
+    self_pos = np.argmax(nbr[0] == np.arange(32)[:, None], axis=1)
+    for i in range(32):
+        np.testing.assert_allclose(so3[i, self_pos[i]], np.eye(3), atol=1e-6)
+    # non-degenerate frames are orthonormal with det +1
+    for i in range(0, 32, 7):
+        for kk in range(4):
+            M = so3[i, kk]
+            if np.allclose(M, np.eye(3)):
+                continue
+            np.testing.assert_allclose(M.T @ M, np.eye(3), atol=1e-4)
+            assert np.linalg.det(M) > 0.99
+
+
+def test_edge_geometry_direction_swap(rng):
+    x = rng.standard_normal((1, 16, 3)).astype(np.float32)
+    nbr = np.asarray(knn.knn_graph(jnp.asarray(x[0]), 4))[None]
+    g_center = edge_geometry.edge_geometry(jnp.asarray(x), jnp.asarray(nbr), "center")
+    g_cluster = edge_geometry.edge_geometry(jnp.asarray(x), jnp.asarray(nbr), "cluster")
+    np.testing.assert_allclose(np.asarray(g_center.rel),
+                               -np.asarray(g_cluster.rel), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_center.dot),
+                               np.asarray(g_cluster.dot), atol=1e-5)
+
+
+def test_nbr_to_edge_list_conventions():
+    nbr = jnp.asarray([[1, 2], [0, 2], [0, 1]], jnp.int32)
+    row, col = knn.nbr_to_edge_list(nbr, "center")
+    np.testing.assert_array_equal(np.asarray(row), [0, 0, 1, 1, 2, 2])
+    np.testing.assert_array_equal(np.asarray(col), [1, 2, 0, 2, 0, 1])
+    row2, col2 = knn.nbr_to_edge_list(nbr, "cluster")
+    np.testing.assert_array_equal(np.asarray(row2), np.asarray(col))
+    np.testing.assert_array_equal(np.asarray(col2), np.asarray(row))

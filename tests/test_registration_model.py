@@ -1,0 +1,111 @@
+"""End-to-end RegistrationModel tests on synthetic pairs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
+from se3_equi_graph_registration_tpu.models import RegistrationModel
+from se3_equi_graph_registration_tpu.ops import knn
+from se3_equi_graph_registration_tpu.train import losses, metrics
+
+
+def _prep(rng, b=2, n=256, k=8, c=16):
+    batch = make_pair_batch(rng, batch=b, n=n, feat_dim=c, noise=0.005)
+    nbr_src = jax.vmap(lambda xx: knn.knn_graph(xx, k))(jnp.asarray(batch.src_pts))
+    nbr_tgt = jax.vmap(lambda xx: knn.knn_graph(xx, k))(jnp.asarray(batch.tgt_pts))
+    return batch, nbr_src, nbr_tgt
+
+
+def test_forward_shapes_and_losses(rng):
+    b, n, k, c = 2, 256, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32, top_k=64)
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = jax.jit(model.apply)(params, *args)
+
+    assert out.R.shape == (b, 3, 3)
+    assert out.t.shape == (b, 3)
+    assert out.scores.shape == (b, 64)
+    # R must be a proper rotation
+    RtR = np.asarray(jnp.einsum("bij,bik->bjk", out.R, out.R))
+    for bb in range(b):
+        np.testing.assert_allclose(RtR[bb], np.eye(3), atol=1e-4)
+        assert float(jnp.linalg.det(out.R[bb])) > 0.99
+
+    lb = losses.total_loss(out, jnp.asarray(batch.gt_pose), jnp.asarray(batch.labels))
+    for name, v in lb._asdict().items():
+        assert np.isfinite(float(v)), name
+
+
+def test_eval_fusion_head_runs(rng):
+    b, n, k, c = 1, 256, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32, top_k=64,
+                              head_mode="eval_fusion")
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = jax.jit(model.apply)(params, *args)
+    assert out.R.shape == (b, 3, 3)
+    assert np.all(np.isfinite(np.asarray(out.R)))
+    assert float(jnp.linalg.det(out.R[0])) > 0.99
+
+
+def test_batch_consistency(rng):
+    """Batched forward must equal per-element forward — the property the
+    reference's batch>1 path violates (README.md:19)."""
+    b, n, k, c = 3, 128, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32, top_k=32)
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out_full = model.apply(params, *args)
+    for bb in range(b):
+        out_one = model.apply(
+            params,
+            args[0][bb:bb+1], args[1][bb:bb+1], args[2][bb:bb+1],
+            args[3][bb:bb+1], args[4][bb:bb+1], args[5][bb:bb+1],
+            args[6][bb:bb+1])
+        np.testing.assert_allclose(np.asarray(out_one.R[0]), np.asarray(out_full.R[bb]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_one.h_src[0]),
+                                   np.asarray(out_full.h_src[bb]), atol=1e-4)
+
+
+def test_training_step_reduces_loss(rng):
+    """A few SGD steps on one synthetic batch should reduce the total loss."""
+    import optax
+    b, n, k, c = 2, 128, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32, top_k=32)
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    gt = jnp.asarray(batch.gt_pose)
+    lbl = jnp.asarray(batch.labels)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss_fn(pp):
+            out = model.apply(pp, *args)
+            return losses.total_loss(out, gt, lbl).total
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    first = None
+    for i in range(8):
+        params, opt_state, l = step(params, opt_state)
+        if first is None:
+            first = float(l)
+    assert float(l) < first
