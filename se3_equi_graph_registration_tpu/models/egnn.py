@@ -123,7 +123,8 @@ class EGCL(nn.Module):
 
         m = MultiHeadEdgeMLP(self.hidden_nf, self.num_heads, self.act,
                              name="edge_mlp")(edge_in)
-        m = nn.LayerNorm(name="layer_norm")(m)
+        # epsilon=1e-5 matches torch.nn.LayerNorm for checkpoint parity
+        m = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(m)
 
         # Coordinate stream: x_row += Σ rel · φ_x(m)   (reference coord_model :262-268)
         scale = nn.Dense(self.hidden_nf, name="coord_mlp_0")(m)
