@@ -1,0 +1,105 @@
+"""Benchmark: registered pairs/second at 2048 correspondences (k=16, 3-layer
+EGNN, weighted-Kabsch head) — the BASELINE.json headline metric.
+
+Measures the FULL device pipeline per pair: k-NN graph construction for both
+clouds + shared EGNN forward on both + top-k scoring + weighted-Kabsch SVD,
+jitted as one program. Sweeps batch size for best steady-state throughput on
+whatever accelerator JAX exposes (the driver runs this on one real TPU chip).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/1000}
+vs_baseline divides by the BASELINE.json target (>= 1000 pairs/s on a v5e-8),
+measured here on a SINGLE chip — i.e. vs_baseline >= 1.0 beats the 8-chip
+target on one chip.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench(batch_sizes=(16, 32, 64), n=2048, k=16, c=32, iters=20, warmup=3,
+          verbose=False):
+    import jax
+
+    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
+    from se3_equi_graph_registration_tpu.train import engine
+
+    import jax.numpy as jnp
+
+    cfg = engine.EngineConfig(num_nodes=n, k=k, in_node_nf=c, hidden_nf=32,
+                              top_k=128)
+    model = engine.build_model(cfg)
+
+    # Timing methodology: each iteration depends on the previous one through
+    # `carry`, and the final scalar is fetched to host. On remote/async
+    # runtimes block_until_ready can return at dispatch-ack — only a host
+    # fetch of a value that transitively depends on every iteration proves
+    # the device actually executed the work.
+    @jax.jit
+    def forward_chain(params, batch, carry):
+        b2 = dict(batch)
+        b2["src_pts"] = batch["src_pts"] + carry * 1e-9
+        out = engine._apply_with_graphs(model, cfg, params, b2)
+        return jnp.sum(out.t) + jnp.sum(out.R)
+
+    best = 0.0
+    best_b = None
+    rng = np.random.default_rng(0)
+    params = None
+    for b in batch_sizes:
+        pb = make_pair_batch(rng, batch=b, n=n, feat_dim=c)
+        batch = engine.batch_to_device(
+            (pb.corr, pb.labels, pb.src_pts, pb.tgt_pts, pb.src_feat,
+             pb.tgt_feat, pb.gt_pose))
+        batch = jax.device_put(batch)
+        if params is None:
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), batch["src_feat"], batch["src_pts"],
+                np.zeros((b, n, k), np.int32), batch["tgt_feat"],
+                batch["tgt_pts"], np.zeros((b, n, k), np.int32),
+                batch["labels"])
+        carry = jnp.zeros(())
+        for _ in range(warmup):
+            carry = forward_chain(params, batch, carry)
+        float(carry)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = forward_chain(params, batch, carry)
+        float(carry)  # host fetch forces the whole chain
+        dt = (time.perf_counter() - t0) / iters
+        pps = b / dt
+        if verbose:
+            print(f"  batch {b}: {dt * 1e3:.2f} ms -> {pps:.0f} pairs/s",
+                  file=sys.stderr)
+        if pps > best:
+            best, best_b = pps, b
+    return best, best_b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batches", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    value, best_b = bench(batch_sizes=tuple(args.batches), n=args.n, k=args.k,
+                          iters=args.iters, verbose=args.verbose)
+    target = 1000.0  # BASELINE.json: >=1000 pairs/s @ 2048 pts on v5e-8
+    print(json.dumps({
+        "metric": f"registration_pairs_per_sec_{args.n}pts_single_chip",
+        "value": round(value, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

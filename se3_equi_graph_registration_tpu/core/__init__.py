@@ -1,1 +1,1 @@
-from . import quaternions, se3  # noqa: F401
+from . import quaternions, se3, se3_np  # noqa: F401

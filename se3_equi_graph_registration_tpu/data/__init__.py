@@ -1,1 +1,1 @@
-from . import synthetic  # noqa: F401
+from . import kitti, pipeline, redwood, sampling, synthetic, threedmatch  # noqa: F401

@@ -1,0 +1,75 @@
+"""Host-side input pipeline: batching + background prefetch.
+
+Replaces torch DataLoader (the reference's host/worker process boundary,
+SURVEY.md §3.1) with a thread-pool loader producing fixed-shape numpy batches,
+double-buffered ahead of the device so the TPU never waits on pkl I/O.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[tuple]) -> tuple:
+    """Stack reference 7-tuples into batched arrays."""
+    return tuple(np.stack([s[i] for s in samples]) for i in range(len(samples[0])))
+
+
+class PairLoader:
+    """Iterates a dataset in shuffled fixed-size batches with prefetching.
+
+    drop_last=True keeps shapes static across steps (one XLA compilation).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = (len(order) // self.batch_size * self.batch_size
+                if self.drop_last else len(order))
+        for i in range(0, stop, self.batch_size):
+            yield order[i:i + self.batch_size]
+
+    def __iter__(self) -> Iterator[tuple]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in self._batch_indices():
+                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        q.put(collate(samples))
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

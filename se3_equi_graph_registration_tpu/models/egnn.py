@@ -27,7 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.edge_geometry import edge_geometry, gather_neighbors
+from ..ops.edge_geometry import (edge_geometry, edge_geometry_from_pairs,
+                                 gather_neighbors)
 from ..ops.segment import kregular_mean, kregular_sum
 
 Array = jax.Array
@@ -99,22 +100,39 @@ class EGCL(nn.Module):
     coords_agg: str = "sum"          # reference uses unsorted_segment_sum (:265)
     direction: str = "center"
     so3_mode: str = "frame"          # 'frame' (reference parity) | 'invariant'
+    axis_name: Optional[str] = None  # set inside shard_map for point sharding
     act: Callable = nn.silu
 
     @nn.compact
     def __call__(self, h: Array, x: Array, nbr_idx: Array,
                  edge_attr: Optional[Array] = None,
                  edge_mask: Optional[Array] = None) -> tuple[Array, Array]:
-        b, n, k = nbr_idx.shape
-
-        geom = edge_geometry(x, nbr_idx, direction=self.direction, so3_mode=self.so3_mode)
-
-        h_nbr = gather_neighbors(h, nbr_idx)                    # [B,N,K,C]
-        h_center = jnp.broadcast_to(h[..., :, None, :], h_nbr.shape)
-        if self.direction == "center":
-            h_row, h_col = h_center, h_nbr
+        if self.axis_name is not None:
+            # Point-sharded slab mode (parallel/point_sharding.py): h/x/nbr_idx
+            # are the LOCAL slab [n_loc, ...] with nbr_idx holding GLOBAL
+            # indices; all-gather the tables so neighbor gathers stay local.
+            assert self.direction == "center", \
+                "point sharding aggregates onto local centers only"
+            assert h.ndim == 2, "slab mode takes unbatched [n_loc, ...] arrays"
+            h_full = jnp.concatenate(jax.lax.all_gather(h, self.axis_name), axis=0)
+            x_full = jnp.concatenate(jax.lax.all_gather(x, self.axis_name), axis=0)
+            x_nbr = x_full[nbr_idx]                             # [n_loc,K,3]
+            h_nbr = h_full[nbr_idx]                             # [n_loc,K,C]
+            x_row = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
+            geom = edge_geometry_from_pairs(x_row, x_nbr, self.so3_mode)
+            h_row = jnp.broadcast_to(h[:, None, :], h_nbr.shape)
+            h_col = h_nbr
+            n = h.shape[0]
         else:
-            h_row, h_col = h_nbr, h_center
+            b, n, k = nbr_idx.shape
+            geom = edge_geometry(x, nbr_idx, direction=self.direction,
+                                 so3_mode=self.so3_mode)
+            h_nbr = gather_neighbors(h, nbr_idx)                # [B,N,K,C]
+            h_center = jnp.broadcast_to(h[..., :, None, :], h_nbr.shape)
+            if self.direction == "center":
+                h_row, h_col = h_center, h_nbr
+            else:
+                h_row, h_col = h_nbr, h_center
 
         feats = [h_row, h_col, geom.radial, geom.dist, geom.dot, geom.so3]
         if edge_attr is not None:
@@ -136,11 +154,14 @@ class EGCL(nn.Module):
                 scale=1e-6, mode="fan_avg", distribution="uniform"),
         )(scale)
         trans = geom.rel * scale
-        x = x + _aggregate(trans, nbr_idx, self.direction, n, edge_mask,
-                           reduce=self.coords_agg)
-
-        # Node stream: h += MLP([h, Σ m])               (reference node_model :252-260)
-        agg = _aggregate(m, nbr_idx, self.direction, n, edge_mask)
+        if self.axis_name is not None:
+            x = x + kregular_sum(trans, edge_mask)
+            agg = kregular_sum(m, edge_mask)
+        else:
+            x = x + _aggregate(trans, nbr_idx, self.direction, n, edge_mask,
+                               reduce=self.coords_agg)
+            # Node stream: h += MLP([h, Σ m])           (reference node_model :252-260)
+            agg = _aggregate(m, nbr_idx, self.direction, n, edge_mask)
         out = jnp.concatenate([h, agg], axis=-1)
         out = nn.Dense(self.hidden_nf, name="node_mlp_0")(out)
         out = self.act(out)
@@ -169,13 +190,14 @@ class EGNN(nn.Module):
     residual: bool = True
     direction: str = "center"
     so3_mode: str = "frame"
+    axis_name: Optional[str] = None  # point-sharded slab mode (see EGCL)
     act: Callable = nn.silu
 
     @nn.compact
     def __call__(self, h: Array, x: Array, nbr_idx: Array,
                  edge_attr: Optional[Array] = None,
                  edge_mask: Optional[Array] = None) -> tuple[Array, Array]:
-        squeeze = h.ndim == 2
+        squeeze = h.ndim == 2 and self.axis_name is None
         if squeeze:  # accept single graphs [N, ...]
             h, x, nbr_idx = h[None], x[None], nbr_idx[None]
             if edge_attr is not None:
@@ -193,7 +215,7 @@ class EGNN(nn.Module):
                 hidden_nf=self.hidden_nf, edge_attr_dim=self.edge_attr_dim,
                 num_heads=self.num_heads, residual=self.residual,
                 direction=self.direction, so3_mode=self.so3_mode,
-                act=self.act, name=f"gcl_{i}",
+                axis_name=self.axis_name, act=self.act, name=f"gcl_{i}",
             )(h, x, nbr_idx, edge_attr, edge_mask)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
 

@@ -106,6 +106,23 @@ def so3_invariant_features(x_row: Array, x_col: Array) -> Array:
     return feats
 
 
+def edge_geometry_from_pairs(x_row: Array, x_col: Array,
+                             so3_mode: str = "frame") -> EdgeGeometry:
+    """Geometry for explicit endpoint arrays [..., K, 3] (row = aggregation
+    target role, col = the other endpoint)."""
+    rel = x_row - x_col
+    radial = jnp.sum(rel * rel, axis=-1, keepdims=True)
+    dist = zero_at_zero_sqrt(radial)
+    dot = jnp.sum(x_row * x_col, axis=-1, keepdims=True)
+    if so3_mode == "frame":
+        so3 = so3_edge_frame(x_row, x_col)
+    elif so3_mode == "invariant":
+        so3 = so3_invariant_features(x_row, x_col)
+    else:
+        raise ValueError(f"unknown so3_mode {so3_mode!r}")
+    return EdgeGeometry(rel=rel, radial=radial, dist=dist, dot=dot, so3=so3)
+
+
 def edge_geometry(x: Array, nbr_idx: Array, direction: str = "center",
                   so3_mode: str = "frame") -> EdgeGeometry:
     """Compute all per-edge geometric features on the dense [N,K] layout.
@@ -123,15 +140,4 @@ def edge_geometry(x: Array, nbr_idx: Array, direction: str = "center",
         x_row, x_col = x_nbr, jnp.broadcast_to(x_center, x_nbr.shape)
     else:
         raise ValueError(f"unknown direction {direction!r}")
-
-    rel = x_row - x_col
-    radial = jnp.sum(rel * rel, axis=-1, keepdims=True)
-    dist = zero_at_zero_sqrt(radial)
-    dot = jnp.sum(x_row * x_col, axis=-1, keepdims=True)
-    if so3_mode == "frame":
-        so3 = so3_edge_frame(x_row, x_col)
-    elif so3_mode == "invariant":
-        so3 = so3_invariant_features(x_row, x_col)
-    else:
-        raise ValueError(f"unknown so3_mode {so3_mode!r}")
-    return EdgeGeometry(rel=rel, radial=radial, dist=dist, dot=dot, so3=so3)
+    return edge_geometry_from_pairs(x_row, x_col, so3_mode)

@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .svd3 import svd3
+
 Array = jax.Array
 
 
@@ -61,7 +63,7 @@ def kabsch_weighted(src: Array, tgt: Array, weights: Array,
     H = jnp.einsum("...n,...ni,...nj->...ij", w, src_c, tgt_c)
     H = H + eps_reg * jnp.eye(3, dtype=H.dtype)
 
-    U, _, Vt = jnp.linalg.svd(H, full_matrices=False)
+    U, _, Vt = svd3(H)  # degenerate-safe gradients (ops/svd3.py)
     V = jnp.swapaxes(Vt, -1, -2)
     det = jnp.linalg.det(V @ jnp.swapaxes(U, -1, -2))
     # Flip the last column of V (== last row of Vt) where det < 0.

@@ -1,1 +1,1 @@
-from . import losses, metrics  # noqa: F401
+from . import checkpoints, engine, losses, metrics  # noqa: F401

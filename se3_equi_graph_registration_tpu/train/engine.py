@@ -1,0 +1,226 @@
+"""Single train/eval engine — the deduplicated replacement for the reference's
+three near-identical 1.4-1.6k-line driver scripts
+(src/3dmatch_train_egnn_with_batch.py, src/kitti_train_egnn_with_batch.py,
+src/eval_egnn_metrics.py — SURVEY.md §0 duplication map).
+
+Everything device-side is one jitted step: k-NN graph construction, the shared
+EGNN over both clouds, the Kabsch head, losses, and the optimizer update.
+Data parallelism comes from sharding the pair-batch axis over a mesh
+(parallel/mesh.py) — the step function itself is mesh-agnostic; pjit inserts
+the gradient psums from the sharding annotations.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.pose_head import RegistrationModel
+from ..ops import knn
+from . import losses as losses_lib
+from . import metrics as metrics_lib
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Hyperparameters mirroring the reference defaults
+    (src/3dmatch_train_egnn_with_batch.py:1536-1555, :1412-1413)."""
+    num_nodes: int = 2048
+    k: int = 16                     # train loop hardcodes 16 (:996)
+    in_node_nf: int = 32            # 32 FCGF / 33 FPFH(KITTI)
+    hidden_nf: int = 32
+    n_layers: int = 3
+    num_heads: int = 4
+    top_k: int = 128                # KITTI head uses 2048 (kitti:663)
+    lr: float = 1e-4
+    lr_step: int = 200              # StepLR(step_size=200, gamma=0.5)
+    lr_gamma: float = 0.5
+    direction: str = "center"
+    so3_mode: str = "frame"
+    loss_weights: losses_lib.LossWeights = losses_lib.LossWeights()
+    remat: bool = False             # jax.checkpoint the EGNN pass
+
+
+def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationModel:
+    return RegistrationModel(
+        num_nodes=cfg.num_nodes, in_node_nf=cfg.in_node_nf,
+        hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers, num_heads=cfg.num_heads,
+        top_k=cfg.top_k, direction=cfg.direction, so3_mode=cfg.so3_mode,
+        head_mode=head_mode)
+
+
+def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
+    """Adam + step decay — reference Adam(lr) + StepLR(200, 0.5) (:1412-1413).
+    `lr_step` is interpreted in optimizer steps (the reference steps per epoch)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr, transition_steps=cfg.lr_step,
+        decay_rate=cfg.lr_gamma, staircase=True)
+    return optax.adam(schedule)
+
+
+def _apply_with_graphs(model, cfg, params, batch):
+    """k-NN graphs + model forward, all inside jit."""
+    nbr_src = jax.vmap(lambda p: knn.knn_graph(p, cfg.k))(batch["src_pts"])
+    nbr_tgt = jax.vmap(lambda p: knn.knn_graph(p, cfg.k))(batch["tgt_pts"])
+    apply = model.apply
+    if cfg.remat:
+        apply = jax.checkpoint(model.apply, static_argnums=())
+    return apply(params, batch["src_feat"], batch["src_pts"], nbr_src,
+                 batch["tgt_feat"], batch["tgt_pts"], nbr_tgt, batch["labels"])
+
+
+def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
+    """Returns jitted (state, batch) -> (state, metrics dict)."""
+
+    def loss_fn(params, batch):
+        out = _apply_with_graphs(model, cfg, params, batch)
+        lb = losses_lib.total_loss(out, batch["gt_pose"], batch["labels"],
+                                   cfg.loss_weights)
+        return lb.total, lb
+
+    def step(state: TrainState, batch) -> tuple[TrainState, dict]:
+        (_, lb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {k: v for k, v in lb._asdict().items()}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: RegistrationModel, cfg: EngineConfig):
+    """Returns jitted (params, batch) -> per-pair metric arrays.
+
+    Matches the eval driver's per-pair metric computation
+    (/root/reference/src/eval_egnn_metrics.py:1243-1283): RRE/RTE vs gt_pose,
+    registration recall/precision at tau=0.09 on the raw input clouds.
+    """
+
+    def step(params, batch):
+        out = _apply_with_graphs(model, cfg, params, batch)
+        b = out.R.shape[0]
+        pred = jnp.tile(jnp.eye(4, dtype=out.R.dtype)[None], (b, 1, 1))
+        pred = pred.at[:, :3, :3].set(out.R).at[:, :3, 3].set(out.t)
+        rot_err, trans_err = metrics_lib.calculate_pose_error(batch["gt_pose"], pred)
+        recall, precision = metrics_lib.registration_recall(
+            pred, batch["src_pts"], batch["tgt_pts"])
+        return {"rot_err_deg": rot_err, "trans_err_cm": trans_err,
+                "recall": recall, "precision": precision}
+
+    return jax.jit(step)
+
+
+def init_state(model: RegistrationModel, optimizer, cfg: EngineConfig,
+               rng_key, example_batch) -> TrainState:
+    nbr = jnp.zeros(example_batch["src_pts"].shape[:2] + (cfg.k,), jnp.int32)
+    params = jax.jit(model.init)(
+        rng_key, example_batch["src_feat"], example_batch["src_pts"], nbr,
+        example_batch["tgt_feat"], example_batch["tgt_pts"], nbr,
+        example_batch["labels"])
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def batch_to_device(batch_tuple) -> dict:
+    """Reference 7-tuple (corr, labels, src_pts, tgt_pts, src_feat, tgt_feat,
+    gt_pose) → the dict the engine consumes."""
+    corr, labels, src_pts, tgt_pts, src_feat, tgt_feat, gt_pose = batch_tuple
+    return {
+        "labels": jnp.asarray(labels), "src_pts": jnp.asarray(src_pts),
+        "tgt_pts": jnp.asarray(tgt_pts), "src_feat": jnp.asarray(src_feat),
+        "tgt_feat": jnp.asarray(tgt_feat), "gt_pose": jnp.asarray(gt_pose),
+    }
+
+
+def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
+        train_batches: Callable[[], Iterable], epochs: int,
+        val_batches: Optional[Callable[[], Iterable]] = None,
+        checkpointer=None, checkpoint_every: int = 20,
+        logger: Optional[Callable[[int, dict], None]] = None,
+        mesh=None) -> TrainState:
+    """Epoch loop with correct loss averaging (the reference's running-total
+    accumulation is buggy — SURVEY.md §7 'defects not to replicate'), periodic
+    + best-val checkpointing (:1435-1441 semantics)."""
+    from ..parallel.mesh import shard_pair_batch
+
+    train_step = make_train_step(model, optimizer, cfg)
+    eval_model = build_model(cfg, head_mode="train")
+    eval_step = make_eval_step(eval_model, cfg)
+
+    best_val = np.inf
+    for epoch in range(epochs):
+        t0 = time.time()
+        sums, count = {}, 0
+        for batch in train_batches():
+            batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
+            if mesh is not None:
+                batch = shard_pair_batch(batch, mesh)
+            state, m = train_step(state, batch)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        train_metrics = {k: v / max(count, 1) for k, v in sums.items()}
+        train_metrics["epoch_seconds"] = time.time() - t0
+
+        if val_batches is not None:
+            vals = []
+            for batch in val_batches():
+                batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
+                if mesh is not None:
+                    batch = shard_pair_batch(batch, mesh)
+                vals.append({k: np.asarray(v) for k, v in
+                             eval_step(state.params, batch).items()})
+            val_metrics = {k: float(np.mean(np.concatenate(
+                [np.atleast_1d(v[k]) for v in vals]))) for k in vals[0]} if vals else {}
+            train_metrics.update({f"val_{k}": v for k, v in val_metrics.items()})
+            val_score = val_metrics.get("rot_err_deg", np.inf)
+            if checkpointer is not None and val_score < best_val:
+                best_val = val_score
+                checkpointer.save(int(state.step), state,
+                                  metrics={"val_rot_err_deg": val_score})
+
+        if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
+            checkpointer.save(int(state.step), state)
+        if logger is not None:
+            logger(epoch, train_metrics)
+    return state
+
+
+def evaluate(model, cfg: EngineConfig, params, batches: Iterable,
+             save_path: Optional[str] = None) -> dict:
+    """Test-set evaluation producing the reference's report format
+    (eval_egnn_metrics.py:1283-1298 → evaluation_results.txt)."""
+    eval_step = make_eval_step(model, cfg)
+    rows = {"rot_err_deg": [], "trans_err_cm": [], "recall": [], "precision": []}
+    for batch in batches:
+        batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
+        m = eval_step(params, batch)
+        for k in rows:
+            rows[k].extend(np.atleast_1d(np.asarray(m[k])).tolist())
+    summary = metrics_lib.summarize(
+        np.asarray(rows["rot_err_deg"]), np.asarray(rows["trans_err_cm"]),
+        np.asarray(rows["recall"]), np.asarray(rows["precision"]))
+    if save_path:
+        with open(save_path, "w") as f:
+            f.write(f"Average Rotation Error: {summary['avg_rotation_error_deg']:.4f} degrees\n")
+            f.write(f"Average Translation Error: {summary['avg_translation_error_cm']:.4f} cm\n")
+            f.write(f"Average Registration Recall: {summary['avg_registration_recall']:.4f}\n")
+            f.write(f"Average F1 Score: {summary['avg_f1']:.4f}\n")
+    return summary

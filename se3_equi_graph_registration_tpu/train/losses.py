@@ -81,18 +81,26 @@ def masked_point_and_feature_loss(R: Array, t: Array, h_src: Array, x_src: Array
     return point_error, feature_loss
 
 
+def _safe_arccos(cos: Array, eps: float = 1e-6) -> Array:
+    """arccos clipped to (−1+eps, 1−eps): d/dx arccos at ±1 is ∓inf, and a
+    perfectly-aligned pose (trace exactly 3) otherwise NaNs the whole gradient
+    — a live landmine in the reference's pose_loss (:932, :952, :960) that we
+    defuse. Worst-case angle bias is √(2eps) ≈ 0.08°."""
+    return jnp.arccos(jnp.clip(cos, -1.0 + eps, 1.0 - eps))
+
+
 def pose_loss(pred_R: Array, pred_t: Array, gt_pose: Array) -> tuple[Array, Array]:
     """Geodesic rotation loss + translation-direction (cosine) loss, per batch
     element [B] each (:948-962)."""
     gt_R, gt_t = decompose_trans(gt_pose)
     M = jnp.einsum("bji,bjk->bik", pred_R, gt_R)     # pred_Rᵀ @ gt_R
     trace = jnp.trace(M, axis1=-2, axis2=-1)
-    rotation_loss = jnp.arccos(jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0))
+    rotation_loss = _safe_arccos((trace - 1.0) / 2.0)
 
     dot = jnp.sum(pred_t * gt_t, axis=-1)
     denom = safe_norm(pred_t) * safe_norm(gt_t)
     cos = dot / jnp.maximum(denom, 1e-8)
-    translation_loss = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    translation_loss = _safe_arccos(cos)
     return rotation_loss, translation_loss
 
 

@@ -1,0 +1,1 @@
+from . import timer, trajectory  # noqa: F401
