@@ -1,0 +1,1 @@
+from . import basis, spherical_harmonics, wigner  # noqa: F401

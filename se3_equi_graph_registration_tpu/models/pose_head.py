@@ -79,6 +79,9 @@ class RegistrationModel(nn.Module):
     direction: str = "center"
     so3_mode: str = "frame"
     head_mode: str = "train"   # 'train' | 'eval_fusion'
+    egnn_impl: str = "xla"     # 'xla' | 'pallas' (fused TPU layer kernel)
+    kabsch_solver: str = "svd" # 'svd' | 'quaternion' (Horn power iteration)
+    topk_method: str = "exact" # 'exact' | 'approx' (lax.approx_max_k)
 
     def setup(self):
         self.egnn = EGNN(
@@ -101,8 +104,17 @@ class RegistrationModel(nn.Module):
         # ONE shared-weight EGNN applied to both clouds, batched — the two
         # calls share parameters exactly like the reference's single egnn
         # module invoked twice (:662-663).
-        h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
-        h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)
+        use_pallas = (self.egnn_impl == "pallas" and not self.is_initializing()
+                      and edge_mask_src is None and edge_mask_tgt is None
+                      and self.direction == "center" and self.so3_mode == "frame")
+        if use_pallas:
+            from ..ops.pallas.egcl_kernel import egnn_forward_pallas
+            variables = {"params": self.egnn.variables["params"]}
+            h_src, x_src = egnn_forward_pallas(variables, h_src, x_src, nbr_src)
+            h_tgt, x_tgt = egnn_forward_pallas(variables, h_tgt, x_tgt, nbr_tgt)
+        else:
+            h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
+            h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)
 
         similarity = jnp.sum(h_src * h_tgt, axis=-1)          # [B, N]
         raw_similarity = jnp.sum(raw_h_src * raw_h_tgt, axis=-1)
@@ -113,7 +125,7 @@ class RegistrationModel(nn.Module):
                 raw_x_src, raw_x_tgt, labels)
 
         # --- train head (reference :679-796) ---
-        _, top_idx = jax.lax.top_k(similarity, self.top_k)
+        top_idx = self._top_k(similarity)
         comp_h_src = _batched_gather(h_src, top_idx)          # [B, k, C]
         comp_h_tgt = _batched_gather(h_tgt, top_idx)
         top_labels = _batched_gather(labels, top_idx)
@@ -123,13 +135,23 @@ class RegistrationModel(nn.Module):
         # Weighted Kabsch over label-valid correspondences, post-EGNN geometry.
         weight_scores = jnp.sum(h_src * h_tgt, axis=-1)
         weights = masked_softmax(weight_scores, labels)
-        R, t = kabsch_weighted(x_src, x_tgt, weights)
+        R, t = kabsch_weighted(x_src, x_tgt, weights, solver=self.kabsch_solver)
 
         return RegistrationOutputs(
             R=R, t=t, scores=scores, top_labels=top_labels, top_indices=top_idx,
             similarity=similarity, raw_similarity=raw_similarity,
             h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt,
         )
+
+    def _top_k(self, scores: Array) -> Array:
+        """Top-k selection; 'approx' uses the TPU-native approx_max_k (the
+        exact lax.top_k costs ~10ms at [16, 2048] — the selection SET barely
+        differs and ordering is irrelevant to the BCE/fusion heads)."""
+        if self.topk_method == "approx":
+            _, idx = jax.lax.approx_max_k(scores, self.top_k)
+        else:
+            _, idx = jax.lax.top_k(scores, self.top_k)
+        return idx
 
     def _eval_head(self, raw_similarity, similarity, h_src, x_src, h_tgt, x_tgt,
                    raw_x_src, raw_x_tgt, labels) -> RegistrationOutputs:
@@ -142,7 +164,7 @@ class RegistrationModel(nn.Module):
         coordinates of the full clouds (:786-818).
         """
         b, n = raw_similarity.shape
-        _, top_idx = jax.lax.top_k(raw_similarity, self.top_k)
+        top_idx = self._top_k(raw_similarity)
         comp_h_src = _batched_gather(h_src, top_idx)
         comp_h_tgt = _batched_gather(h_tgt, top_idx)
         top_labels = _batched_gather(labels, top_idx)
@@ -160,7 +182,8 @@ class RegistrationModel(nn.Module):
         fused = fused / (jnp.sum(fused, axis=-1, keepdims=True) + 1e-6)
         weights = jax.nn.softmax(fused, axis=-1)
 
-        R, t = kabsch_weighted(raw_x_src, raw_x_tgt, weights)
+        R, t = kabsch_weighted(raw_x_src, raw_x_tgt, weights,
+                               solver=self.kabsch_solver)
 
         return RegistrationOutputs(
             R=R, t=t, scores=pred_scores, top_labels=top_labels, top_indices=top_idx,

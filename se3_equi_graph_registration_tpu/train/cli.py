@@ -1,0 +1,161 @@
+"""Train / eval command-line entry points.
+
+Replaces the reference's three driver scripts with two commands over one engine:
+
+  python -m se3_equi_graph_registration_tpu.train.cli train --preset 3dmatch
+  python -m se3_equi_graph_registration_tpu.train.cli eval  --preset 3dmatch \
+      --checkpoint /path/checkpoint-3dmatch.pth
+
+`.pth` checkpoints convert on the fly (train/checkpoints.py); native orbax
+checkpoints restore directly. The 'synthetic' preset needs no data on disk.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Iterable
+
+import jax
+import numpy as np
+
+from ..data.pipeline import PairLoader
+from ..data.synthetic import make_pair_batch
+from . import engine
+from .checkpoints import TrainCheckpointer, convert_reference_checkpoint
+from .config import ExperimentConfig, parse_cli, to_flat_dict
+
+
+def _build_dataset(cfg: ExperimentConfig, split: str):
+    d = cfg.data
+    if d.dataset == "3dmatch":
+        from ..data.threedmatch import ThreeDMatchPairDataset
+        return ThreeDMatchPairDataset(root=d.root, split=split,
+                                      descriptor=d.descriptor,
+                                      num_node=d.num_node, seed=d.seed)
+    if d.dataset == "kitti":
+        from ..data.kitti import KITTIPairDataset
+        return KITTIPairDataset(root=d.root, split=split,
+                                descriptor=d.descriptor,
+                                num_node=d.num_node, seed=d.seed)
+    if d.dataset == "synthetic":
+        return None
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def _synthetic_batches(cfg: ExperimentConfig, n_batches: int = 4) -> Iterable:
+    rng = np.random.default_rng(cfg.data.seed)
+    feat_dim = cfg.engine.in_node_nf
+    for _ in range(n_batches):
+        pb = make_pair_batch(rng, batch=cfg.data.batch_size,
+                             n=cfg.engine.num_nodes, feat_dim=feat_dim)
+        yield (pb.corr, pb.labels, pb.src_pts, pb.tgt_pts, pb.src_feat,
+               pb.tgt_feat, pb.gt_pose)
+
+
+def _loader(cfg: ExperimentConfig, split: str, shuffle: bool):
+    ds = _build_dataset(cfg, split)
+    if ds is None:
+        return lambda: _synthetic_batches(cfg)
+    return lambda: PairLoader(ds, cfg.data.batch_size, shuffle=shuffle,
+                              seed=cfg.data.seed,
+                              num_workers=cfg.data.num_workers)
+
+
+def _jsonl_logger(path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    f = open(path, "a")
+
+    def log(epoch: int, metrics: dict):
+        rec = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        pretty = ", ".join(f"{k}={v:.4f}" for k, v in rec.items() if k != "epoch")
+        print(f"[epoch {epoch}] {pretty}", flush=True)
+
+    return log
+
+
+def _load_params(path: str, cfg: ExperimentConfig, model, template_state):
+    if path.endswith(".pth"):
+        return convert_reference_checkpoint(
+            path, n_layers=cfg.engine.n_layers, num_heads=cfg.engine.num_heads,
+            hidden=cfg.engine.hidden_nf)
+    ckpt = TrainCheckpointer(path)
+    restored = ckpt.restore_latest(template_state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    return restored[0].params
+
+
+def cmd_train(cfg: ExperimentConfig, args) -> None:
+    ecfg = cfg.engine
+    model = engine.build_model(ecfg)
+    opt = engine.build_optimizer(ecfg)
+
+    train_batches = _loader(cfg, "train", shuffle=True)
+    val_batches = _loader(cfg, "val", shuffle=False) \
+        if cfg.data.dataset != "synthetic" else None
+
+    first = engine.batch_to_device(next(iter(train_batches())))
+    state = engine.init_state(model, opt, ecfg, jax.random.PRNGKey(cfg.data.seed),
+                              first)
+    ckpt = TrainCheckpointer(cfg.run.checkpoint_dir)
+    if cfg.run.resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state, step = restored
+            print(f"resumed from step {step}")
+
+    mesh = None
+    if cfg.run.data_parallel and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        if cfg.data.batch_size % n_dev == 0:
+            mesh = make_mesh({"data": n_dev})
+            print(f"data-parallel over {n_dev} devices")
+
+    print(json.dumps(to_flat_dict(cfg), indent=2, default=str))
+    state = engine.fit(
+        model, opt, ecfg, state, train_batches=train_batches,
+        epochs=cfg.run.epochs, val_batches=val_batches, checkpointer=ckpt,
+        checkpoint_every=cfg.run.checkpoint_every,
+        logger=_jsonl_logger(cfg.run.log_path), mesh=mesh)
+    ckpt.save(int(state.step), state)
+    print(f"done; final checkpoint at step {int(state.step)}")
+
+
+def cmd_eval(cfg: ExperimentConfig, args) -> None:
+    ecfg = cfg.engine
+    model = engine.build_model(ecfg, head_mode="eval_fusion")
+    opt = engine.build_optimizer(ecfg)
+
+    batches_fn = _loader(cfg, "test", shuffle=False) \
+        if cfg.data.dataset != "synthetic" else _loader(cfg, "test", False)
+    first = engine.batch_to_device(next(iter(batches_fn())))
+    template = engine.init_state(model, opt, ecfg,
+                                 jax.random.PRNGKey(0), first)
+    if args.checkpoint is None:
+        raise SystemExit("--checkpoint required for eval")
+    params = _load_params(args.checkpoint, cfg, model, template)
+
+    os.makedirs(os.path.dirname(cfg.run.eval_output) or ".", exist_ok=True)
+    summary = engine.evaluate(model, ecfg, params, batches_fn(),
+                              save_path=cfg.run.eval_output)
+    print(json.dumps(summary, indent=2))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("train", "eval"):
+        raise SystemExit("usage: cli.py {train|eval} [--preset ...] ...")
+    command, rest = argv[0], argv[1:]
+    cfg, args = parse_cli(rest, description=f"{command} entry point")
+    if command == "train":
+        cmd_train(cfg, args)
+    else:
+        cmd_eval(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Config system: dataclass configs with JSON file + CLI overrides.
+
+The reference has argparse blocks per script with author-machine absolute
+paths, partially overridden by hardcoded values (SURVEY.md §5.6). Here one
+`ExperimentConfig` drives train/eval for every dataset family; any field is
+settable from a JSON file (--config) and/or --key=value CLI overrides.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Optional
+
+from . import losses as losses_lib
+from .engine import EngineConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "3dmatch"          # '3dmatch' | 'kitti' | 'synthetic'
+    root: str = "./data/3dmatch"
+    descriptor: str = "fcgf"          # 'fcgf' | 'fpfh'
+    num_node: int = 2048
+    batch_size: int = 8               # reference default (argparse :1541)
+    num_workers: int = 4
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    epochs: int = 500                 # reference default; KITTI uses 200
+    checkpoint_dir: str = "./checkpoints_tpu"
+    checkpoint_every: int = 20        # reference :1435
+    log_path: str = "./runs/train_log.jsonl"
+    eval_output: str = "./output/evaluation_results.txt"
+    resume: bool = False
+    data_parallel: bool = True        # shard the pair batch over all devices
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    engine: EngineConfig = EngineConfig()
+    data: DataConfig = DataConfig()
+    run: RunConfig = RunConfig()
+
+
+def preset(name: str) -> ExperimentConfig:
+    """Named presets mirroring the reference's three driver configurations."""
+    if name == "3dmatch":
+        return ExperimentConfig(
+            engine=EngineConfig(in_node_nf=32, top_k=128),
+            data=DataConfig(dataset="3dmatch", descriptor="fcgf"),
+            run=RunConfig(epochs=500))
+    if name == "kitti":
+        # FPFH 33-d, head top_k=2048, loss = corr + equi
+        # (src/kitti_train_egnn_with_batch.py:1515-1518, :663, :1089)
+        return ExperimentConfig(
+            engine=EngineConfig(
+                in_node_nf=33, top_k=2048,
+                loss_weights=losses_lib.LossWeights(corr=1.0, sim=1.0,
+                                                    rot=0.0, trans=0.0, equi=1.0)),
+            data=DataConfig(dataset="kitti", descriptor="fpfh"),
+            run=RunConfig(epochs=200))
+    if name == "synthetic":
+        return ExperimentConfig(
+            engine=EngineConfig(in_node_nf=32, top_k=128),
+            data=DataConfig(dataset="synthetic"),
+            run=RunConfig(epochs=3, checkpoint_every=1))
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def _replace_nested(cfg: Any, dotted: str, value: Any):
+    head, _, rest = dotted.partition(".")
+    if rest:
+        return dataclasses.replace(
+            cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)})
+    current = getattr(cfg, head)
+    if current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
+        value = type(current)(value) if not isinstance(value, type(current)) else value
+    return dataclasses.replace(cfg, **{head: value})
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: dict[str, Any]) -> ExperimentConfig:
+    """Apply {'engine.lr': 3e-4, 'data.batch_size': 16, ...} overrides."""
+    for key, value in overrides.items():
+        cfg = _replace_nested(cfg, key, value)
+    return cfg
+
+
+def from_file(path: str, base: Optional[ExperimentConfig] = None) -> ExperimentConfig:
+    with open(path) as f:
+        flat = json.load(f)
+    return apply_overrides(base or ExperimentConfig(), flat)
+
+
+def to_flat_dict(cfg: ExperimentConfig) -> dict[str, Any]:
+    out = {}
+
+    def rec(prefix, obj):
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            if dataclasses.is_dataclass(v) and not isinstance(v, losses_lib.LossWeights):
+                rec(f"{prefix}{f.name}.", v)
+            elif isinstance(v, losses_lib.LossWeights):
+                for lf, lv in v._asdict().items():
+                    out[f"{prefix}{f.name}.{lf}"] = lv
+            else:
+                out[f"{prefix}{f.name}"] = v
+
+    rec("", cfg)
+    return out
+
+
+def parse_cli(argv: Optional[list[str]] = None,
+              description: str = "") -> tuple[ExperimentConfig, argparse.Namespace]:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--preset", default="3dmatch",
+                    choices=["3dmatch", "kitti", "synthetic"])
+    ap.add_argument("--config", default=None, help="JSON config file")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="dotted overrides, e.g. engine.lr=3e-4")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint to evaluate / resume from (.pth converts)")
+    args = ap.parse_args(argv)
+
+    cfg = preset(args.preset)
+    if args.config:
+        cfg = from_file(args.config, cfg)
+    overrides = {}
+    for item in args.set:
+        key, _, val = item.partition("=")
+        try:
+            val = json.loads(val)
+        except json.JSONDecodeError:
+            pass
+        overrides[key] = val
+    if overrides:
+        # loss-weight overrides route through the engine dataclass
+        lw_over = {k.split(".")[-1]: v for k, v in overrides.items()
+                   if k.startswith("engine.loss_weights.")}
+        overrides = {k: v for k, v in overrides.items()
+                     if not k.startswith("engine.loss_weights.")}
+        cfg = apply_overrides(cfg, overrides)
+        if lw_over:
+            lw = cfg.engine.loss_weights._replace(**lw_over)
+            cfg = dataclasses.replace(
+                cfg, engine=dataclasses.replace(cfg.engine, loss_weights=lw))
+    return cfg, args

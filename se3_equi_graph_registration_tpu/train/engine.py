@@ -54,6 +54,10 @@ class EngineConfig:
     so3_mode: str = "frame"
     loss_weights: losses_lib.LossWeights = losses_lib.LossWeights()
     remat: bool = False             # jax.checkpoint the EGNN pass
+    egnn_impl: str = "xla"          # 'xla' | 'pallas' fused TPU layer kernel
+    knn_method: str = "exact"       # 'exact' | 'approx' (lax.approx_min_k)
+    kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
+    topk_method: str = "exact"      # head top-k: 'exact' | 'approx' 
 
 
 def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationModel:
@@ -61,7 +65,8 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         num_nodes=cfg.num_nodes, in_node_nf=cfg.in_node_nf,
         hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers, num_heads=cfg.num_heads,
         top_k=cfg.top_k, direction=cfg.direction, so3_mode=cfg.so3_mode,
-        head_mode=head_mode)
+        head_mode=head_mode, egnn_impl=cfg.egnn_impl,
+        kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method)
 
 
 def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
@@ -75,8 +80,10 @@ def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
 
 def _apply_with_graphs(model, cfg, params, batch):
     """k-NN graphs + model forward, all inside jit."""
-    nbr_src = jax.vmap(lambda p: knn.knn_graph(p, cfg.k))(batch["src_pts"])
-    nbr_tgt = jax.vmap(lambda p: knn.knn_graph(p, cfg.k))(batch["tgt_pts"])
+    nbr_src = jax.vmap(
+        lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method))(batch["src_pts"])
+    nbr_tgt = jax.vmap(
+        lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method))(batch["tgt_pts"])
     apply = model.apply
     if cfg.remat:
         apply = jax.checkpoint(model.apply, static_argnums=())
