@@ -31,8 +31,10 @@ def bench(batch_sizes=(16, 32, 64), n=2048, k=16, c=32, iters=20, warmup=3,
 
     import jax.numpy as jnp
 
-    cfg = engine.EngineConfig(num_nodes=n, k=k, in_node_nf=c, hidden_nf=32,
-                              top_k=128)
+    # the production fast path: fused Pallas EGNN, approx k-selection,
+    # quaternion Kabsch (checkpoint-parity eval uses the exact/svd knobs)
+    cfg = engine.fast_tpu_config(num_nodes=n, k=k, in_node_nf=c, hidden_nf=32,
+                                 top_k=128)
     model = engine.build_model(cfg)
 
     # Timing methodology: each iteration depends on the previous one through

@@ -19,6 +19,22 @@ def collate(samples: Sequence[tuple]) -> tuple:
     return tuple(np.stack([s[i] for s in samples]) for i in range(len(samples[0])))
 
 
+def collate_min_clip(samples: Sequence[tuple]) -> tuple:
+    """PointDSC-style collate (reference datasets/dataloader.py:6-37): clip
+    every per-point tensor in the batch to the MINIMUM correspondence count so
+    ragged pairs stack — used when sampling produced variable-length pairs
+    (e.g. num_node='all')."""
+    n_min = min(s[2].shape[0] for s in samples)
+    out = []
+    for i in range(len(samples[0])):
+        # per-point arrays clip to n_min; gt_pose [4,4] passes through
+        fields = [np.asarray(s[i]) for s in samples]
+        if fields[0].ndim >= 1 and fields[0].shape[0] != 4:
+            fields = [a[:n_min] for a in fields]
+        out.append(np.stack(fields))
+    return tuple(out)
+
+
 class PairLoader:
     """Iterates a dataset in shuffled fixed-size batches with prefetching.
 

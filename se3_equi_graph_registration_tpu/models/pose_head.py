@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.kabsch import kabsch_weighted, masked_softmax
 from .egnn import EGNN
+from .pointnet import PointNet
 
 Array = jax.Array
 
@@ -82,6 +83,8 @@ class RegistrationModel(nn.Module):
     egnn_impl: str = "xla"     # 'xla' | 'pallas' (fused TPU layer kernel)
     kabsch_solver: str = "svd" # 'svd' | 'quaternion' (Horn power iteration)
     topk_method: str = "exact" # 'exact' | 'approx' (lax.approx_max_k)
+    egnn_accurate: bool = True # pallas: 3-pass fp32 matmuls vs 1-pass bf16
+    use_pointnet: bool = False # learn descriptors end-to-end (README.md:69)
 
     def setup(self):
         self.egnn = EGNN(
@@ -91,6 +94,10 @@ class RegistrationModel(nn.Module):
             direction=self.direction, so3_mode=self.so3_mode, name="egnn",
         )
         self.score_mlp = ScoreMLP(self.hidden_nf, name="mlp")
+        if self.use_pointnet:
+            self.pointnet = PointNet(hidden_channels=self.hidden_nf,
+                                     out_channels=self.in_node_nf,
+                                     name="pointnet")
 
     def __call__(self, h_src: Array, x_src: Array, nbr_src: Array,
                  h_tgt: Array, x_tgt: Array, nbr_tgt: Array,
@@ -98,6 +105,11 @@ class RegistrationModel(nn.Module):
                  edge_mask_src: Optional[Array] = None,
                  edge_mask_tgt: Optional[Array] = None) -> RegistrationOutputs:
         """h_*: [B, N, C_in]; x_*: [B, N, 3]; nbr_*: [B, N, K]; labels: [B, N]."""
+        if self.use_pointnet:
+            # optional end-to-end learned descriptors replacing the offline
+            # FCGF/FPFH features (reference use_pointnet path, :1646)
+            h_src = self.pointnet(x_src, nbr_src, edge_mask_src)
+            h_tgt = self.pointnet(x_tgt, nbr_tgt, edge_mask_tgt)
         raw_h_src, raw_h_tgt = h_src, h_tgt
         raw_x_src, raw_x_tgt = x_src, x_tgt
 
@@ -110,8 +122,10 @@ class RegistrationModel(nn.Module):
         if use_pallas:
             from ..ops.pallas.egcl_kernel import egnn_forward_pallas
             variables = {"params": self.egnn.variables["params"]}
-            h_src, x_src = egnn_forward_pallas(variables, h_src, x_src, nbr_src)
-            h_tgt, x_tgt = egnn_forward_pallas(variables, h_tgt, x_tgt, nbr_tgt)
+            h_src, x_src = egnn_forward_pallas(variables, h_src, x_src, nbr_src,
+                                               accurate=self.egnn_accurate)
+            h_tgt, x_tgt = egnn_forward_pallas(variables, h_tgt, x_tgt, nbr_tgt,
+                                               accurate=self.egnn_accurate)
         else:
             h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
             h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)

@@ -1,0 +1,1 @@
+from . import max_clique  # noqa: F401

@@ -1,0 +1,1 @@
+from . import stats, viz  # noqa: F401

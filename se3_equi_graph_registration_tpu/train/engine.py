@@ -36,6 +36,15 @@ class TrainState:
     step: Array
 
 
+def fast_tpu_config(**overrides) -> "EngineConfig":
+    """Production-throughput knob set: fused Pallas EGNN at single-pass
+    matmul precision, approx k-selection everywhere, quaternion Kabsch."""
+    kw = dict(egnn_impl="pallas", knn_method="approx", kabsch_solver="quaternion",
+              topk_method="approx", egnn_accurate=False)
+    kw.update(overrides)
+    return EngineConfig(**kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Hyperparameters mirroring the reference defaults
@@ -57,7 +66,10 @@ class EngineConfig:
     egnn_impl: str = "xla"          # 'xla' | 'pallas' fused TPU layer kernel
     knn_method: str = "exact"       # 'exact' | 'approx' (lax.approx_min_k)
     kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
-    topk_method: str = "exact"      # head top-k: 'exact' | 'approx' 
+    topk_method: str = "exact"      # head top-k: 'exact' | 'approx'
+    egnn_accurate: bool = True      # pallas matmul precision (fp32 vs bf16)
+    use_pointnet: bool = False      # end-to-end descriptor encoder
+    grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
 
 
 def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationModel:
@@ -66,7 +78,8 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         hidden_nf=cfg.hidden_nf, n_layers=cfg.n_layers, num_heads=cfg.num_heads,
         top_k=cfg.top_k, direction=cfg.direction, so3_mode=cfg.so3_mode,
         head_mode=head_mode, egnn_impl=cfg.egnn_impl,
-        kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method)
+        kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method,
+        egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet)
 
 
 def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
@@ -75,7 +88,10 @@ def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=cfg.lr, transition_steps=cfg.lr_step,
         decay_rate=cfg.lr_gamma, staircase=True)
-    return optax.adam(schedule)
+    opt = optax.adam(schedule)
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    return opt
 
 
 def _apply_with_graphs(model, cfg, params, batch):
@@ -92,7 +108,15 @@ def _apply_with_graphs(model, cfg, params, batch):
 
 
 def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
-    """Returns jitted (state, batch) -> (state, metrics dict)."""
+    """Returns jitted (state, batch) -> (state, metrics dict).
+
+    The fused Pallas EGCL kernel has no backward kernel yet, so the gradient
+    path uses the XLA twin (identical parameter tree — the two impls are
+    interchangeable per-step); forward-only paths (eval, serving, bench) keep
+    the fused kernel.
+    """
+    if model.egnn_impl == "pallas":
+        model = model.clone(egnn_impl="xla")
 
     def loss_fn(params, batch):
         out = _apply_with_graphs(model, cfg, params, batch)

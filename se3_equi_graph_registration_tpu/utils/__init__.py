@@ -1,1 +1,1 @@
-from . import timer, trajectory  # noqa: F401
+from . import logging, timer, trajectory  # noqa: F401
