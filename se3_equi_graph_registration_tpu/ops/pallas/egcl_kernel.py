@@ -118,7 +118,8 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
                  lns_ref, lnb_ref, wc0_ref, bc0_ref, wc1_ref,
                  wn0_ref, bn0_ref, wn1_ref, bn1_ref,
                  hout_ref, xout_ref, aggm_ref, aggx_ref,
-                 *, T: int, E: int, K: int, N: int, C: int, accurate: bool):
+                 *, T: int, E: int, K: int, N: int, C: int, accurate: bool,
+                 table_chunk: int):
     i = pl.program_id(1)
     c = pl.program_id(2)
     n_chunks = pl.num_programs(2)
@@ -135,8 +136,6 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
     Rmat = (row_ids == local_center).astype(jnp.float32)
 
     nbr = nbr_ref[0]                                     # [1, E] int32
-    n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
-    O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(jnp.float32)
 
     f32 = jnp.float32
     # preferred_element_type only sets the ACCUMULATOR dtype; input precision
@@ -146,8 +145,31 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
     def dot(a_, b_):
         return jnp.dot(a_, b_, preferred_element_type=f32, precision=prec)
 
-    h_col = dot(ht, O)            # [C, E]
-    x_col = dot(xt, O)            # [3, E]
+    # Neighbor gather = one-hot matmul. For large clouds the [N, E] one-hot
+    # exceeds VMEM, so the contraction loops over table chunks of NT rows —
+    # the one-hot chunk is regenerated per step (iota compare), classic
+    # matmul K-loop with on-the-fly operand.
+    NT = min(N, table_chunk)
+
+    def gather_cols(nt_chunk_idx, acc):
+        h_acc, x_acc = acc
+        base = nt_chunk_idx * NT
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (NT, E), 0) + base
+        Opart = (n_ids == jnp.broadcast_to(nbr, (NT, E))).astype(f32)
+        ht_part = ht_ref[0, :, pl.ds(base, NT)]
+        xt_part = xt_ref[0, :, pl.ds(base, NT)]
+        return (h_acc + dot(ht_part, Opart), x_acc + dot(xt_part, Opart))
+
+    if N == NT:
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
+        O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(f32)
+        h_col = dot(ht, O)            # [C, E]
+        x_col = dot(xt, O)            # [3, E]
+    else:
+        h_col, x_col = jax.lax.fori_loop(
+            0, N // NT, gather_cols,
+            (jnp.zeros((C, E), f32), jnp.zeros((3, E), f32)))
+
     h_row = dot(h_tile, Rmat)     # [C, E]
     x_row = dot(x_tile, Rmat)     # [3, E]
 
@@ -220,11 +242,12 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
-                                              "accurate"))
+                                              "accurate", "table_chunk"))
 def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                       tile_t: int = 128, chunk: int = 512,
                       interpret: bool = False,
-                      accurate: bool = True) -> tuple[Array, Array]:
+                      accurate: bool = True,
+                      table_chunk: int = 2048) -> tuple[Array, Array]:
     """One fused EGCL layer.
 
     h: [B, C, N] fp32 (transposed layout), x: [B, 3, N], nbr_idx: [B, N, K].
@@ -237,6 +260,7 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
     tk = T * k
     E = min(chunk, tk)
     assert n % T == 0 and tk % E == 0, (n, T, tk, E)
+    assert n % min(n, table_chunk) == 0, (n, table_chunk)
     n_chunks = tk // E
     nbr_flat = nbr_idx.reshape(b, 1, n * k).astype(jnp.int32)
 
@@ -248,7 +272,7 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 
     p = params
     kernel = functools.partial(_egcl_kernel, T=T, E=E, K=k, N=n, C=c_dim,
-                               accurate=accurate)
+                               accurate=accurate, table_chunk=table_chunk)
     h_out, x_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -283,7 +307,8 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
                         tile_t: int = 128, chunk: int = 512,
                         interpret: bool = False,
-                        accurate: bool = True) -> tuple[Array, Array]:
+                        accurate: bool = True,
+                        table_chunk: int = 2048) -> tuple[Array, Array]:
     """Full EGNN forward (embedding → n×EGCL → embedding) on the fused kernel.
 
     Takes the SAME flax variables tree as models/egnn.EGNN (standard layout
@@ -314,7 +339,8 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
         params = params_from_tree(tree[f"gcl_{li}"])
         ht, xt = egcl_layer_pallas(ht, xt, nbr_idx, params,
                                    tile_t=tile_t, chunk=chunk,
-                                   interpret=interpret, accurate=accurate)
+                                   interpret=interpret, accurate=accurate,
+                                   table_chunk=table_chunk)
 
     h = jnp.swapaxes(ht, -1, -2)
     h = jnp.matmul(h, emb_out["kernel"], precision=prec) + emb_out["bias"]

@@ -1,1 +1,1 @@
-from . import stats, viz  # noqa: F401
+from . import eval_files, stats, viz  # noqa: F401
