@@ -38,7 +38,7 @@ def pairwise_sq_dists(x: Array, y: Array) -> Array:
 
 
 def knn_graph(x: Array, k: int, include_self: bool = True,
-              method: str = "exact", recall_target: float = 0.95) -> Array:
+              method: str = "exact", recall_target: float = 0.85) -> Array:
     """Dense k-NN: returns nbr_idx [..., N, K] of the k nearest points to each row.
 
     include_self=True keeps the zero-distance self match (torch_cluster loop=True

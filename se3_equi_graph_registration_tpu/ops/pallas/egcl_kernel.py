@@ -305,7 +305,7 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 
 
 def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
-                        tile_t: int = 128, chunk: int = 512,
+                        tile_t: int = 128, chunk: int | None = None,
                         interpret: bool = False,
                         accurate: bool = True,
                         table_chunk: int = 2048) -> tuple[Array, Array]:
@@ -320,9 +320,13 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
     emb_in = tree["embedding_in"]
     emb_out = tree["embedding_out"]
 
-    if accurate and chunk > 256:
-        # HIGHEST-precision (3-pass) matmuls need ~3x the VMEM scratch; the
-        # [N, chunk] one-hot at chunk=512 blows the 16MB budget.
+    if chunk is None:
+        # measured on v5e: accurate (3-pass) mode OOMs VMEM beyond 256 lanes;
+        # fast mode is ~30% faster with one full-tile chunk (no accumulation
+        # loop) as long as the [table_chunk, chunk] one-hot stays in budget
+        k = nbr_idx.shape[-1]
+        chunk = 256 if accurate else tile_t * k
+    elif accurate and chunk > 256:
         chunk = 256
 
     squeeze = h.ndim == 2

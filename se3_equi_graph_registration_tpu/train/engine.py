@@ -65,6 +65,9 @@ class EngineConfig:
     remat: bool = False             # jax.checkpoint the EGNN pass
     egnn_impl: str = "xla"          # 'xla' | 'pallas' fused TPU layer kernel
     knn_method: str = "exact"       # 'exact' | 'approx' (lax.approx_min_k)
+    knn_recall: float = 0.85        # approx_min_k recall target (v5e: 0.85 is
+                                    # 3.4x faster than 0.95 with ~5% more
+                                    # neighbor churn the EGNN tolerates)
     kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
     topk_method: str = "exact"      # head top-k: 'exact' | 'approx'
     egnn_accurate: bool = True      # pallas matmul precision (fp32 vs bf16)
@@ -96,10 +99,10 @@ def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
 
 def _apply_with_graphs(model, cfg, params, batch):
     """k-NN graphs + model forward, all inside jit."""
-    nbr_src = jax.vmap(
-        lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method))(batch["src_pts"])
-    nbr_tgt = jax.vmap(
-        lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method))(batch["tgt_pts"])
+    build = lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method,
+                                    recall_target=cfg.knn_recall)
+    nbr_src = jax.vmap(build)(batch["src_pts"])
+    nbr_tgt = jax.vmap(build)(batch["tgt_pts"])
     apply = model.apply
     if cfg.remat:
         apply = jax.checkpoint(model.apply, static_argnums=())

@@ -1,0 +1,74 @@
+"""Config system and CLI plumbing tests."""
+import json
+
+import numpy as np
+import pytest
+
+from se3_equi_graph_registration_tpu.train import config as cfg_lib
+from se3_equi_graph_registration_tpu.train import engine
+
+
+def test_presets():
+    c3 = cfg_lib.preset("3dmatch")
+    assert c3.engine.in_node_nf == 32 and c3.run.epochs == 500
+    ck = cfg_lib.preset("kitti")
+    assert ck.engine.in_node_nf == 33 and ck.engine.top_k == 2048
+    # KITTI loss = corr + equi, no pose terms (kitti driver :1089)
+    assert ck.engine.loss_weights.equi == 1.0
+    assert ck.engine.loss_weights.rot == 0.0
+    with pytest.raises(ValueError):
+        cfg_lib.preset("nope")
+
+
+def test_overrides_and_types():
+    cfg = cfg_lib.preset("3dmatch")
+    cfg = cfg_lib.apply_overrides(cfg, {"engine.lr": 3e-4,
+                                        "data.batch_size": 16,
+                                        "run.resume": True})
+    assert cfg.engine.lr == pytest.approx(3e-4)
+    assert cfg.data.batch_size == 16 and cfg.run.resume is True
+
+
+def test_config_file_roundtrip(tmp_path):
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps({"engine.hidden_nf": 64, "data.descriptor": "fpfh"}))
+    cfg = cfg_lib.from_file(str(path))
+    assert cfg.engine.hidden_nf == 64
+    assert cfg.data.descriptor == "fpfh"
+
+
+def test_parse_cli_with_sets():
+    cfg, args = cfg_lib.parse_cli([
+        "--preset", "synthetic", "--set", "engine.num_nodes=128",
+        "engine.loss_weights.equi=2.0", "data.batch_size=4"])
+    assert cfg.engine.num_nodes == 128
+    assert cfg.data.batch_size == 4
+    assert cfg.engine.loss_weights.equi == 2.0
+
+
+def test_flat_dict_contains_loss_weights():
+    flat = cfg_lib.to_flat_dict(cfg_lib.preset("kitti"))
+    assert flat["engine.loss_weights.equi"] == 1.0
+    assert flat["data.dataset"] == "kitti"
+
+
+def test_fast_tpu_config_helper():
+    cfg = engine.fast_tpu_config(num_nodes=512)
+    assert cfg.egnn_impl == "pallas" and cfg.knn_method == "approx"
+    assert cfg.kabsch_solver == "quaternion" and cfg.num_nodes == 512
+
+
+def test_remat_flag_runs(rng):
+    import jax
+    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
+    cfg = engine.EngineConfig(num_nodes=64, k=8, in_node_nf=16, top_k=16,
+                              remat=True)
+    model = engine.build_model(cfg)
+    opt = engine.build_optimizer(cfg)
+    pb = make_pair_batch(rng, batch=2, n=64, feat_dim=16)
+    batch = engine.batch_to_device((pb.corr, pb.labels, pb.src_pts, pb.tgt_pts,
+                                    pb.src_feat, pb.tgt_feat, pb.gt_pose))
+    state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    step = engine.make_train_step(model, opt, cfg)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["total"]))
