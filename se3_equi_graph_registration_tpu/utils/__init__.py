@@ -1,1 +1,1 @@
-from . import logging, nn_extras, reversible, timer, trajectory  # noqa: F401
+from . import debugging, logging, nn_extras, reversible, timer, trajectory  # noqa: F401
