@@ -117,9 +117,14 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
                  w1hr_ref, w1hc_ref, w1g_ref, b1_ref, w2_ref, b2_ref,
                  lns_ref, lnb_ref, wc0_ref, bc0_ref, wc1_ref,
                  wn0_ref, bn0_ref, wn1_ref, bn1_ref,
-                 hout_ref, xout_ref, aggm_ref, aggx_ref,
-                 *, T: int, E: int, K: int, N: int, C: int, accurate: bool,
-                 table_chunk: int):
+                 hout_ref, xout_ref, *rest,
+                 T: int, E: int, K: int, N: int, C: int, accurate: bool,
+                 table_chunk: int, emit_aggm: bool = False):
+    if emit_aggm:
+        aggm_out_ref, aggm_ref, aggx_ref = rest
+    else:
+        aggm_out_ref = None
+        aggm_ref, aggx_ref = rest
     i = pl.program_id(1)
     c = pl.program_id(2)
     n_chunks = pl.num_programs(2)
@@ -239,15 +244,19 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
         out = out * jax.nn.sigmoid(out)
         out = dot(wn1_ref[:], out) + bn1_ref[:]
         hout_ref[0] = h_tile + out
+        if emit_aggm:
+            aggm_out_ref[0] = aggm_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
-                                              "accurate", "table_chunk"))
+                                              "accurate", "table_chunk",
+                                              "emit_aggm"))
 def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                       tile_t: int = 128, chunk: int = 512,
                       interpret: bool = False,
                       accurate: bool = True,
-                      table_chunk: int = 2048) -> tuple[Array, Array]:
+                      table_chunk: int = 2048,
+                      emit_aggm: bool = False):
     """One fused EGCL layer.
 
     h: [B, C, N] fp32 (transposed layout), x: [B, 3, N], nbr_idx: [B, N, K].
@@ -272,8 +281,9 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 
     p = params
     kernel = functools.partial(_egcl_kernel, T=T, E=E, K=k, N=n, C=c_dim,
-                               accurate=accurate, table_chunk=table_chunk)
-    h_out, x_out = pl.pallas_call(
+                               accurate=accurate, table_chunk=table_chunk,
+                               emit_aggm=emit_aggm)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -290,17 +300,22 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, T), lambda bb, ii, cc: (bb, 0, ii),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, c_dim, T), lambda bb, ii, cc: (bb, 0, ii),
+                           memory_space=pltpu.VMEM)] if emit_aggm else []),
         out_shape=[
             jax.ShapeDtypeStruct((b, c_dim, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((b, c_dim, n), jnp.float32)]
+             if emit_aggm else []),
         scratch_shapes=[
             pltpu.VMEM((c_dim, T), jnp.float32),
             pltpu.VMEM((3, T), jnp.float32),
         ],
         interpret=interpret,
     )(nbr_flat, h, x, *p)
+    if emit_aggm:
+        return tuple(outs)
+    h_out, x_out = outs
     return h_out, x_out
 
 
@@ -341,10 +356,18 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
     n_layers = sum(1 for kk in tree if kk.startswith("gcl_"))
     for li in range(n_layers):
         params = params_from_tree(tree[f"gcl_{li}"])
-        ht, xt = egcl_layer_pallas(ht, xt, nbr_idx, params,
-                                   tile_t=tile_t, chunk=chunk,
-                                   interpret=interpret, accurate=accurate,
-                                   table_chunk=table_chunk)
+        if accurate:
+            ht, xt = egcl_layer_pallas(ht, xt, nbr_idx, params,
+                                       tile_t=tile_t, chunk=chunk,
+                                       interpret=interpret, accurate=True,
+                                       table_chunk=table_chunk)
+        else:
+            # fast mode routes through the custom-VJP layer: identical
+            # forward kernel, hand-written Pallas backward — the whole EGNN
+            # is differentiable end-to-end (egcl_backward.py)
+            from .egcl_backward import egcl_fused_diff
+            ht, xt = egcl_fused_diff(ht, xt, nbr_idx, params,
+                                     tile_t, chunk, interpret)
 
     h = jnp.swapaxes(ht, -1, -2)
     h = jnp.matmul(h, emb_out["kernel"], precision=prec) + emb_out["bias"]

@@ -113,12 +113,12 @@ def _apply_with_graphs(model, cfg, params, batch):
 def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
     """Returns jitted (state, batch) -> (state, metrics dict).
 
-    The fused Pallas EGCL kernel has no backward kernel yet, so the gradient
-    path uses the XLA twin (identical parameter tree — the two impls are
-    interchangeable per-step); forward-only paths (eval, serving, bench) keep
-    the fused kernel.
+    The fused Pallas layers train end-to-end via the hand-written backward
+    kernel (ops/pallas/egcl_backward.py) in fast (egnn_accurate=False) mode;
+    the accurate (3-pass fp32) forward has no matching backward, so that
+    combination falls back to the XLA twin (identical parameter tree).
     """
-    if model.egnn_impl == "pallas":
+    if model.egnn_impl == "pallas" and model.egnn_accurate:
         model = model.clone(egnn_impl="xla")
 
     def loss_fn(params, batch):

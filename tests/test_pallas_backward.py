@@ -1,0 +1,108 @@
+"""Gradient correctness of the hand-written Pallas EGCL backward (interpret
+mode on CPU) against XLA autodiff of the identical flax layer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3_equi_graph_registration_tpu.models.egnn import EGCL
+from se3_equi_graph_registration_tpu.ops import knn
+from se3_equi_graph_registration_tpu.ops.pallas.egcl_backward import egcl_fused_diff
+from se3_equi_graph_registration_tpu.ops.pallas.egcl_kernel import params_from_tree
+
+
+def _setup(rng, b=1, n=128, k=16, c=32):
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    nbr = jax.vmap(lambda p: knn.knn_graph(p, k))(x)
+    layer = EGCL(input_nf=c, output_nf=c, hidden_nf=c)
+    lp = layer.init(jax.random.PRNGKey(0), h, x, nbr, jnp.ones(nbr.shape + (1,)))
+    return layer, lp, h, x, nbr
+
+
+def test_custom_vjp_matches_xla_grads(rng):
+    layer, lp, h, x, nbr = _setup(rng)
+    ht, xt = jnp.swapaxes(h, -1, -2), jnp.swapaxes(x, -1, -2)
+
+    def loss_pallas(lpv, hh_t, xx_t):
+        pt = params_from_tree(lpv["params"])
+        ho, xo = egcl_fused_diff(hh_t, xx_t, nbr, pt, 64, 256, True)
+        return jnp.sum(ho ** 2) + jnp.sum(xo * 1.7)
+
+    def loss_xla(lpv, hh, xx):
+        ho, xo = layer.apply(lpv, hh, xx, nbr, jnp.ones(nbr.shape + (1,)))
+        return jnp.sum(ho ** 2) + jnp.sum(xo * 1.7)
+
+    v1 = float(loss_pallas(lp, ht, xt))
+    v2 = float(loss_xla(lp, h, x))
+    assert abs(v1 - v2) < 1e-3 * (1 + abs(v2))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(lp, ht, xt)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(lp, h, x)
+
+    # input cotangents
+    np.testing.assert_allclose(np.asarray(g1[1]),
+                               np.asarray(jnp.swapaxes(g2[1], -1, -2)),
+                               atol=5e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[2]),
+                               np.asarray(jnp.swapaxes(g2[2], -1, -2)),
+                               atol=5e-3, rtol=1e-4)
+    # parameter gradients (relative to their own scale)
+    for (kp, a), (_, b2) in zip(
+            jax.tree_util.tree_leaves_with_path(g1[0]),
+            jax.tree_util.tree_leaves_with_path(g2[0])):
+        scale = 1.0 + float(jnp.abs(b2).max())
+        d = float(jnp.abs(a - b2).max())
+        assert d < 1e-3 * scale, f"{jax.tree_util.keystr(kp)}: {d} vs scale {scale}"
+
+
+def test_custom_vjp_batched(rng):
+    layer, lp, h, x, nbr = _setup(rng, b=2, n=64, k=8)
+    ht, xt = jnp.swapaxes(h, -1, -2), jnp.swapaxes(x, -1, -2)
+    pt = params_from_tree(lp["params"])
+
+    def loss(hh_t):
+        ho, xo = egcl_fused_diff(hh_t, xt, nbr, pt, 64, 256, True)
+        return jnp.sum(ho ** 2)
+
+    g = jax.grad(loss)(ht)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def loss_xla(hh):
+        ho, _ = layer.apply(lp, hh, x, nbr, jnp.ones(nbr.shape + (1,)))
+        return jnp.sum(ho ** 2)
+
+    g_ref = jax.grad(loss_xla)(h)
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(jnp.swapaxes(g_ref, -1, -2)),
+                               atol=5e-3, rtol=1e-4)
+
+
+def test_full_egnn_trains_through_pallas(rng):
+    """egnn_forward_pallas (fast mode) is now differentiable end-to-end."""
+    from se3_equi_graph_registration_tpu.models import EGNN
+    from se3_equi_graph_registration_tpu.ops.pallas.egcl_kernel import (
+        egnn_forward_pallas)
+    b, n, k, c = 1, 64, 8, 32
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    nbr = jax.vmap(lambda p: knn.knn_graph(p, k))(x)
+    model = EGNN(in_node_nf=c)
+    params = model.init(jax.random.PRNGKey(0), h, x, nbr)
+
+    def loss_pal(p):
+        ho, xo = egnn_forward_pallas(p, h, x, nbr, tile_t=64, chunk=256,
+                                     interpret=True, accurate=False)
+        return jnp.sum(ho ** 2) + jnp.sum(xo ** 2)
+
+    def loss_xla(p):
+        ho, xo = model.apply(p, h, x, nbr)
+        return jnp.sum(ho ** 2) + jnp.sum(xo ** 2)
+
+    g1 = jax.grad(loss_pal)(params)
+    g2 = jax.grad(loss_xla)(params)
+    for (kp, a), (_, b2) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        scale = 1.0 + float(jnp.abs(b2).max())
+        d = float(jnp.abs(a - b2).max())
+        assert d < 2e-3 * scale, f"{jax.tree_util.keystr(kp)}: {d}"
