@@ -120,12 +120,18 @@ class RegistrationModel(nn.Module):
                       and edge_mask_src is None and edge_mask_tgt is None
                       and self.direction == "center" and self.so3_mode == "frame")
         if use_pallas:
+            import jax as _jax
+
             from ..ops.pallas.egcl_kernel import egnn_forward_pallas
             variables = {"params": self.egnn.variables["params"]}
+            # off-TPU (CPU tests / debugging) the kernels run interpreted
+            interp = _jax.default_backend() != "tpu"
             h_src, x_src = egnn_forward_pallas(variables, h_src, x_src, nbr_src,
-                                               accurate=self.egnn_accurate)
+                                               accurate=self.egnn_accurate,
+                                               interpret=interp)
             h_tgt, x_tgt = egnn_forward_pallas(variables, h_tgt, x_tgt, nbr_tgt,
-                                               accurate=self.egnn_accurate)
+                                               accurate=self.egnn_accurate,
+                                               interpret=interp)
         else:
             h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
             h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)

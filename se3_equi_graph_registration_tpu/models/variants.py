@@ -231,3 +231,41 @@ class GlobalPooling(nn.Module):
     def __call__(self, h: Array) -> Array:
         return jnp.concatenate(
             [jnp.max(h, axis=-2), jnp.mean(h, axis=-2)], axis=-1)
+
+
+class EGCLVel(nn.Module):
+    """Velocity-extended EGCL (reference zoo E_GCL_vel / GCL_rf_vel,
+    tests/CofModel.py): besides the coordinate stream, integrates a velocity
+    channel — v' = φ_v(h)·v + Σ rel·φ_x(m); x' = x + v'."""
+    hidden_nf: int = 32
+    act: Callable = nn.silu
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, v: Array, nbr_idx: Array,
+                 edge_mask: Optional[Array] = None
+                 ) -> tuple[Array, Array, Array]:
+        geom = edge_geometry(x, nbr_idx, so3_mode="invariant")
+        h_nbr = gather_neighbors(h, nbr_idx)
+        h_row = jnp.broadcast_to(h[..., :, None, :], h_nbr.shape)
+        m = nn.Dense(self.hidden_nf, name="edge_mlp_0")(
+            jnp.concatenate([h_row, h_nbr, geom.radial], axis=-1))
+        m = self.act(m)
+        m = nn.Dense(self.hidden_nf, name="edge_mlp_1")(m)
+
+        scale = nn.Dense(self.hidden_nf, name="coord_mlp_0")(m)
+        scale = self.act(scale)
+        scale = nn.Dense(1, use_bias=False, name="coord_mlp_out")(scale)
+        force = kregular_sum(geom.rel * scale, edge_mask)
+
+        vel_gate = nn.Dense(self.hidden_nf, name="vel_mlp_0")(h)
+        vel_gate = self.act(vel_gate)
+        vel_gate = nn.Dense(1, name="vel_mlp_1")(vel_gate)
+        v = vel_gate * v + force
+        x = x + v
+
+        agg = kregular_sum(m, edge_mask)
+        out = nn.Dense(self.hidden_nf, name="node_mlp_0")(
+            jnp.concatenate([h, agg], axis=-1))
+        out = self.act(out)
+        h = h + nn.Dense(h.shape[-1], name="node_mlp_1")(out)
+        return h, x, v

@@ -106,3 +106,17 @@ def test_legacy_gcn_path(rng):
     assert out.shape == (2, 32, 20)
     pooled = variants.GlobalPooling().apply({}, out)
     assert pooled.shape == (2, 40)
+
+
+def test_egcl_vel_equivariance(rng):
+    """Velocity layer: rotation-equivariant in both x and v."""
+    h, x, nbr = _inputs(rng, b=1)
+    v = jnp.asarray(rng.standard_normal(x.shape) * 0.1, jnp.float32)
+    layer = variants.EGCLVel(hidden_nf=32)
+    params = layer.init(jax.random.PRNGKey(0), h, x, v, nbr)
+    h1, x1, v1 = layer.apply(params, h, x, v, nbr)
+    R = jnp.asarray(random_rotation(np.random.default_rng(4)), jnp.float32)
+    h2, x2, v2 = layer.apply(params, h, x @ R.T, v @ R.T, nbr)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1 @ R.T), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1 @ R.T), atol=2e-4)
