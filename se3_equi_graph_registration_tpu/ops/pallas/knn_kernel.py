@@ -1,0 +1,83 @@
+"""Exact k-NN as a Pallas TPU kernel.
+
+`lax.top_k` over a [B, N, N] distance matrix costs ~28ms at B=16, N=2048 (it
+sorts far more than k=16 needs); `lax.approx_min_k` is fast but inexact. This
+kernel computes the distance tile on the MXU and extracts the k minima by
+iterative (min, mask) sweeps on the VPU — exact, with lowest-index tie-breaking
+(identical to lax.top_k on negated distances), in one fused pass that never
+materializes the distance matrix in HBM.
+
+Layout: coordinates transposed [3, N] (points in lanes). Grid (B, N/T); each
+program computes d² [T, N] = ‖x_tile‖² + ‖x‖² − 2·x_tileᵀx and runs K
+extraction sweeps.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _knn_kernel(xt_ref, out_ref, *, T: int, N: int, K: int,
+                include_self: bool):
+    i = pl.program_id(1)
+    f32 = jnp.float32
+
+    xt = xt_ref[0]                                   # [3, N]
+    x_tile = xt_ref[0, :, pl.ds(i * T, T)]           # [3, T]
+
+    x2_full = jnp.sum(xt * xt, axis=0, keepdims=True)          # [1, N]
+    x2_tile = jnp.sum(x_tile * x_tile, axis=0, keepdims=True)  # [1, T]
+    cross = jax.lax.dot_general(
+        x_tile, xt, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    d2 = x2_tile.T - 2.0 * cross + x2_full                     # [T, N]
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    if not include_self:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N), 0) + i * T
+        d2 = jnp.where(lane_ids == row_ids, jnp.inf, d2)
+
+    # K is static — unroll so every output column store has a static index
+    # (Mosaic rejects dynamically-indexed strided vector stores)
+    d = d2
+    for kk in range(K):
+        cur_min = jnp.min(d, axis=1, keepdims=True)            # [T, 1]
+        # lowest-index tie-break: first lane attaining the minimum
+        is_min = d <= cur_min
+        idx = jnp.min(jnp.where(is_min, lane_ids, N), axis=1,
+                      keepdims=True)                           # [T, 1]
+        out_ref[0, :, kk:kk + 1] = idx.astype(jnp.int32)
+        d = jnp.where(lane_ids == idx, jnp.inf, d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "include_self", "tile_t",
+                                             "interpret"))
+def knn_pallas(x: Array, k: int, include_self: bool = True,
+               tile_t: int = 256, interpret: bool = False) -> Array:
+    """Exact k-NN of x [B, N, 3] (or [N, 3]) → nbr_idx int32 [B, N, K]."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    b, n, _ = x.shape
+    T = min(tile_t, n)
+    assert n % T == 0, (n, T)
+    xt = jnp.swapaxes(x, -1, -2).astype(jnp.float32)   # [B, 3, N]
+
+    kernel = functools.partial(_knn_kernel, T=T, N=n, K=k,
+                               include_self=include_self)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n // T),
+        in_specs=[pl.BlockSpec((1, 3, n), lambda bb, ii: (bb, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, T, k), lambda bb, ii: (bb, ii, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+        interpret=interpret,
+    )(xt)
+    return out[0] if squeeze else out

@@ -64,7 +64,9 @@ class EngineConfig:
     loss_weights: losses_lib.LossWeights = losses_lib.LossWeights()
     remat: bool = False             # jax.checkpoint the EGNN pass
     egnn_impl: str = "xla"          # 'xla' | 'pallas' fused TPU layer kernel
-    knn_method: str = "exact"       # 'exact' | 'approx' (lax.approx_min_k)
+    knn_method: str = "exact"       # 'exact' (lax.top_k) | 'approx'
+                                    # (lax.approx_min_k) | 'pallas' (exact
+                                    # fused kernel, ~7x faster than top_k)
     knn_recall: float = 0.85        # approx_min_k recall target (v5e: 0.85 is
                                     # 3.4x faster than 0.95 with ~5% more
                                     # neighbor churn the EGNN tolerates)
@@ -99,10 +101,18 @@ def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
 
 def _apply_with_graphs(model, cfg, params, batch):
     """k-NN graphs + model forward, all inside jit."""
-    build = lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method,
-                                    recall_target=cfg.knn_recall)
-    nbr_src = jax.vmap(build)(batch["src_pts"])
-    nbr_tgt = jax.vmap(build)(batch["tgt_pts"])
+    if cfg.knn_method == "pallas":
+        # exact fused kernel (identical neighbor SETS to lax.top_k; fp
+        # near-tie ordering may differ — aggregation is order-invariant)
+        from ..ops.pallas.knn_kernel import knn_pallas
+        interp = jax.default_backend() != "tpu"
+        nbr_src = knn_pallas(batch["src_pts"], cfg.k, interpret=interp)
+        nbr_tgt = knn_pallas(batch["tgt_pts"], cfg.k, interpret=interp)
+    else:
+        build = lambda p: knn.knn_graph(p, cfg.k, method=cfg.knn_method,
+                                        recall_target=cfg.knn_recall)
+        nbr_src = jax.vmap(build)(batch["src_pts"])
+        nbr_tgt = jax.vmap(build)(batch["tgt_pts"])
     apply = model.apply
     if cfg.remat:
         apply = jax.checkpoint(model.apply, static_argnums=())
