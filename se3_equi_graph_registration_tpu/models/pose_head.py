@@ -45,6 +45,27 @@ class RegistrationOutputs(NamedTuple):
     x_src: Array              # [B, N, 3] post-EGNN source coords
     h_tgt: Array              # [B, N, C]
     x_tgt: Array              # [B, N, 3]
+    weights: Array            # [B, N] Kabsch correspondence weights
+
+
+def fuse_scores(pred_scores: Array, raw_topk: Array, literal: bool = False) -> Array:
+    """Score-fusion rule of the eval head (eval_egnn_metrics.py:761-764).
+
+    pred_scores/raw_topk: [B, K]. Where the score MLP is confident
+    (pred > 0.5) and beats the raw similarity under either condition
+    (|pred-1| < raw or pred < raw), its logit replaces the raw value.
+
+    literal=True reproduces the reference's broadcast accident: the [B*K]
+    pred vector broadcasts against [B,K,1] similarities, so the scatter
+    source column fuses every slot with pred[0] (see
+    tests/torch_oracle.py:eval_head_forward for the full derivation).
+    """
+    if literal:
+        pred_scores = jnp.broadcast_to(pred_scores[..., :1], pred_scores.shape)
+    confident = pred_scores > 0.5
+    cond1 = confident & (jnp.abs(pred_scores - 1.0) < raw_topk)
+    cond2 = confident & (pred_scores < raw_topk)
+    return jnp.where(cond1 | cond2, pred_scores, raw_topk)
 
 
 def _batched_gather(values: Array, idx: Array) -> Array:
@@ -85,6 +106,13 @@ class RegistrationModel(nn.Module):
     topk_method: str = "exact" # 'exact' | 'approx' (lax.approx_max_k)
     egnn_accurate: bool = True # pallas: 3-pass fp32 matmuls vs 1-pass bf16
     use_pointnet: bool = False # learn descriptors end-to-end (README.md:69)
+    # eval_fusion only: False = per-slot fusion (the evident intent of
+    # eval_egnn_metrics.py:761-764); True = bit-faithful reproduction of the
+    # reference's shape-broadcast accident, where torch.where's [B*K] pred
+    # scores broadcast against [B,K,1] similarities so the scatter source
+    # column reduces to pred[0] — every slot is fused with the FIRST top-k
+    # score (see tests/torch_oracle.py eval_head_forward for the derivation).
+    fusion_literal: bool = False
 
     def setup(self):
         self.egnn = EGNN(
@@ -160,7 +188,7 @@ class RegistrationModel(nn.Module):
         return RegistrationOutputs(
             R=R, t=t, scores=scores, top_labels=top_labels, top_indices=top_idx,
             similarity=similarity, raw_similarity=raw_similarity,
-            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt,
+            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt, weights=weights,
         )
 
     def _top_k(self, scores: Array) -> Array:
@@ -192,12 +220,13 @@ class RegistrationModel(nn.Module):
         pred_scores = self.score_mlp(jnp.concatenate([comp_h_src, comp_h_tgt], axis=-1))
         raw_topk = _batched_gather(raw_similarity, top_idx)
 
-        confident = pred_scores > 0.5
-        cond1 = confident & (jnp.abs(pred_scores - 1.0) < raw_topk)
-        cond2 = confident & (pred_scores < raw_topk)
-        fused_topk = jnp.where(cond1 | cond2, pred_scores, raw_topk)
+        fused_topk = fuse_scores(pred_scores, raw_topk,
+                                 literal=self.fusion_literal)
 
         # Scatter fused top-k weights back into the full-N similarity vector.
+        # Cast explicitly: a weak-dtype promotion here (e.g. float64 inputs
+        # under x64) turns into a hard scatter-dtype error in future JAX.
+        fused_topk = fused_topk.astype(raw_similarity.dtype)
         fused = jax.vmap(lambda s, i, v: s.at[i].set(v))(raw_similarity, top_idx, fused_topk)
         fused = fused / (jnp.sum(fused, axis=-1, keepdims=True) + 1e-6)
         weights = jax.nn.softmax(fused, axis=-1)
@@ -208,5 +237,5 @@ class RegistrationModel(nn.Module):
         return RegistrationOutputs(
             R=R, t=t, scores=pred_scores, top_labels=top_labels, top_indices=top_idx,
             similarity=similarity, raw_similarity=raw_similarity,
-            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt,
+            h_src=h_src, x_src=x_src, h_tgt=h_tgt, x_tgt=x_tgt, weights=weights,
         )

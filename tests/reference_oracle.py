@@ -1,0 +1,134 @@
+"""Load the reference's OWN model classes as a second, independent oracle.
+
+`tests/torch_oracle.py` is a hand-written restatement of the reference
+semantics; if SURVEY.md and that oracle share a misreading, parity tests can't
+catch it. This module imports the actual reference code (read-only, at test
+time — importing for testing is not copying) so golden tests can compare
+against the very classes that trained the shipped checkpoints:
+
+- /root/reference/src/3dmatch_train_egnn_with_batch.py (E_GCL :185, EGNN :293,
+  CrossAttentionPoseRegression train head :585)
+- /root/reference/src/eval_egnn_metrics.py (eval score-fusion head :594)
+
+The reference scripts import torch_geometric/torch_cluster/torch_scatter/wandb
+at module level but the classes under test never call them (segment sums use
+plain `scatter_add_`), so light-weight stubs satisfy the imports.
+"""
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import sys
+import types
+
+import torch
+
+REF = "/root/reference"
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _unavailable(*_a, **_k):
+    raise RuntimeError("stubbed reference dependency was called at test time")
+
+
+def _install_stubs() -> None:
+    if "torch_cluster" in sys.modules:
+        return
+
+    class MessagePassing(torch.nn.Module):
+        """Subclassable shim: the reference's PointNetLayer derives from this
+        at module level but is not exercised by the oracle tests."""
+
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    _stub("wandb", init=_unavailable, log=_unavailable)
+    _stub("torch_cluster", knn_graph=_unavailable)
+    _stub("torch_scatter", scatter_add=_unavailable)
+    tg = _stub("torch_geometric")
+    tg.data = _stub("torch_geometric.data", Data=object)
+    tg.data.datapipes = _stub(
+        "torch_geometric.data.datapipes",
+        functional_transform=lambda _name: (lambda cls: cls))
+    tg.transforms = _stub("torch_geometric.transforms", BaseTransform=object,
+                          SamplePoints=object, KNNGraph=object)
+    tg.utils = _stub("torch_geometric.utils", to_undirected=_unavailable)
+    tg.nn = _stub("torch_geometric.nn", global_max_pool=_unavailable,
+                  MessagePassing=MessagePassing)
+
+
+def _load(fname: str, alias: str):
+    if alias in sys.modules:
+        return sys.modules[alias]
+    _install_stubs()
+    for p in (REF, f"{REF}/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    spec = importlib.util.spec_from_file_location(alias, f"{REF}/src/{fname}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def train_module():
+    """The reference train script (E_GCL / EGNN / train head / losses)."""
+    return _load("3dmatch_train_egnn_with_batch.py", "ref_train_3dmatch")
+
+
+def eval_module():
+    """The reference eval script (score-fusion head variant)."""
+    return _load("eval_egnn_metrics.py", "ref_eval_metrics")
+
+
+def build_egnn(mod, state_dict: dict, in_nf=32, hidden_nf=32, out_nf=32,
+               in_edge_nf=1, n_layers=3, num_heads=4):
+    """Reference EGNN wired for the shipped checkpoints.
+
+    EGNN.__init__ (:322-325) never forwards num_heads, and the E_GCL default
+    (num_heads=1, :186) does not match the trained weights (4 heads of width 8
+    — from `gcl_0.edge_mlps.*` shapes), so the gcl submodules are rebuilt with
+    num_heads=4 before loading.
+    """
+    egnn = mod.EGNN(in_node_nf=in_nf, hidden_nf=hidden_nf, out_node_nf=out_nf,
+                    in_edge_nf=in_edge_nf, device="cpu", n_layers=n_layers,
+                    residual=True, attention=True)
+    for i in range(n_layers):
+        egnn.add_module(
+            f"gcl_{i}",
+            mod.E_GCL(hidden_nf, hidden_nf, hidden_nf, edges_in_d=in_edge_nf,
+                      num_heads=num_heads, residual=True, attention=True,
+                      device="cpu"))
+    egnn.load_state_dict(
+        {k: v.float() for k, v in state_dict.items()}, strict=True)
+    return egnn.eval()
+
+
+def build_head(mod, ckpt_path: str, num_nodes: int, hidden_nf=32,
+               n_layers=3, num_heads=4):
+    """Reference CrossAttentionPoseRegression (train or eval variant,
+    depending on `mod`) with both state dicts from the shipped checkpoint."""
+    ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    egnn = build_egnn(mod, ck["egnn_state_dict"], n_layers=n_layers,
+                      num_heads=num_heads)
+    head = mod.CrossAttentionPoseRegression(egnn, num_nodes=num_nodes,
+                                            hidden_nf=hidden_nf, device="cpu")
+    sd = {k: v.float() for k, v in ck["cross_attention_state_dict"].items()}
+    head.load_state_dict(sd, strict=True)
+    return head.eval()
+
+
+@contextlib.contextmanager
+def quiet():
+    """The reference eval head prints debug spam every forward (:723, :780)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        yield

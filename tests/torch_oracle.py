@@ -130,6 +130,74 @@ def head_forward(sd: dict, h_src, x_src, edges_src, h_tgt, x_tgt, edges_tgt,
                 top_idx=top_idx, scores=scores, R=R, t=t)
 
 
+def _kabsch_core(vs, vt, w):
+    """Shared weighted-Kabsch tail: renorm (+1e-6), H + 1e-6 I, SVD, det fix."""
+    w = w / (w.sum() + 1e-6)
+    cs = (w[:, None] * vs).sum(0, keepdim=True)
+    ct = (w[:, None] * vt).sum(0, keepdim=True)
+    H = (w[:, None, None] * (vs - cs)[:, :, None] @ (vt - ct)[:, None, :]).sum(0)
+    H = H + 1e-6 * torch.eye(3)
+    U, S, Vt = torch.linalg.svd(H)
+    R = Vt.T @ U.T
+    if torch.det(R) < 0:
+        Vt = Vt.clone()
+        Vt[-1, :] *= -1
+        R = Vt.T @ U.T
+    t = ct.squeeze() - R @ cs.squeeze()
+    return R, t
+
+
+def eval_head_forward(sd: dict, h_src, x_src, edges_src, h_tgt, x_tgt,
+                      edges_tgt, n_layers=3, num_heads=4, top_k=128,
+                      literal=False):
+    """Score-fusion eval head (/root/reference/src/eval_egnn_metrics.py:689-818)
+    at batch 1.
+
+    Semantics: top-k selection on the PRE-EGNN feature similarity (:749);
+    score-MLP logits over post-EGNN features at those indices (:742); fusion
+    conditions pred>0.5 & (|pred-1| < raw_topk | pred < raw_topk) replace raw
+    similarities (:761-764); fused weights scatter back over all N (:767-768),
+    sum-normalize (+1e-6, :771), softmax (:774), and weighted Kabsch over the
+    ORIGINAL full clouds (:786-818).
+
+    `literal=False` (default) applies the fusion per top-k slot — the evident
+    intent. `literal=True` reproduces the reference's shape accident exactly:
+    pred_scores there is a flat [B*K] vector (:739-742) while the similarity
+    gather is [B,K,1], so every broadcast in :761-764 aligns pred along a new
+    trailing axis and the scatter source column [.., j, 0] reduces to
+    cond(pred[0], raw_topk[j]) ? pred[0] : raw_topk[j] — slot 0's score is the
+    only one ever fused in (verified bit-exact against the imported reference
+    code in test_checkpoint_parity.py).
+    """
+    e_attr_s = torch.ones(edges_src[0].shape[0], 1)
+    e_attr_t = torch.ones(edges_tgt[0].shape[0], 1)
+    h_s, x_s = egnn_forward(sd, h_src, x_src, *edges_src, e_attr_s,
+                            prefix="egnn.", n_layers=n_layers, num_heads=num_heads)
+    h_t, x_t = egnn_forward(sd, h_tgt, x_tgt, *edges_tgt, e_attr_t,
+                            prefix="egnn.", n_layers=n_layers, num_heads=num_heads)
+
+    raw_sim = (h_src * h_tgt).sum(-1)                       # pre-EGNN
+    top_idx = torch.topk(raw_sim, top_k).indices
+    ch_s, ch_t = h_s[top_idx], h_t[top_idx]
+    y = torch.relu(torch.cat([ch_s, ch_t], dim=1) @ sd["mlp.0.weight"].T + sd["mlp.0.bias"])
+    y = torch.relu(y @ sd["mlp.2.weight"].T + sd["mlp.2.bias"])
+    pred = (y @ sd["mlp.4.weight"].T + sd["mlp.4.bias"]).squeeze(-1)
+
+    raw_topk = raw_sim[top_idx]
+    pf = pred[0].expand_as(pred) if literal else pred
+    cond = (pf > 0.5) & ((torch.abs(pf - 1.0) < raw_topk) | (pf < raw_topk))
+    fused_topk = torch.where(cond, pf, raw_topk)
+
+    fused = raw_sim.clone()
+    fused[top_idx] = fused_topk
+    fused = fused / (fused.sum() + 1e-6)
+    weights = torch.softmax(fused, dim=-1)
+
+    R, t = _kabsch_core(x_src, x_tgt, weights)              # ORIGINAL coords
+    return dict(h_src=h_s, x_src=x_s, h_tgt=h_t, x_tgt=x_t, raw_sim=raw_sim,
+                top_idx=top_idx, pred=pred, weights=weights, R=R, t=t)
+
+
 def load_state_dict(path: str) -> dict:
     ck = torch.load(path, map_location="cpu", weights_only=False)
     return {k: v.float() for k, v in ck["cross_attention_state_dict"].items()}
