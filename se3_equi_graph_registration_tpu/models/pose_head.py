@@ -164,6 +164,19 @@ class RegistrationModel(nn.Module):
             h_src, x_src = self.egnn(h_src, x_src, nbr_src, edge_mask=edge_mask_src)
             h_tgt, x_tgt = self.egnn(h_tgt, x_tgt, nbr_tgt, edge_mask=edge_mask_tgt)
 
+        return self.head_from_embeddings(
+            raw_h_src, raw_h_tgt, raw_x_src, raw_x_tgt,
+            h_src, x_src, h_tgt, x_tgt, labels)
+
+    def head_from_embeddings(self, raw_h_src: Array, raw_h_tgt: Array,
+                             raw_x_src: Array, raw_x_tgt: Array,
+                             h_src: Array, x_src: Array,
+                             h_tgt: Array, x_tgt: Array,
+                             labels: Array) -> RegistrationOutputs:
+        """Post-EGNN head: scoring + weighted Kabsch from (raw, embedded)
+        features. Split out so sharded execution paths (e.g. the point-axis
+        sharded EGNN in parallel/point_sharding.py) can run the embedding
+        stage under shard_map and this head on the re-assembled arrays."""
         similarity = jnp.sum(h_src * h_tgt, axis=-1)          # [B, N]
         raw_similarity = jnp.sum(raw_h_src * raw_h_tgt, axis=-1)
 

@@ -1,3 +1,5 @@
 from . import mesh, point_sharding  # noqa: F401
 from .mesh import data_sharding, make_mesh, replicated, shard_pair_batch  # noqa: F401
-from .point_sharding import sharded_egnn_forward, sharded_knn  # noqa: F401
+from .point_sharding import (  # noqa: F401
+    make_point_sharded_train_step, shard_points_batch, sharded_egnn_forward,
+    sharded_egnn_forward_batched, sharded_knn, sharded_knn_batched)

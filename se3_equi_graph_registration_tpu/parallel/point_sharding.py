@@ -50,6 +50,132 @@ def sharded_knn(x: Array, k: int, mesh: Mesh, axis: str = "point") -> Array:
     )(x, x)
 
 
+def sharded_knn_batched(x: Array, k: int, mesh: Mesh,
+                        data_axis: str | None = "data",
+                        point_axis: str = "point") -> Array:
+    """Batched exact k-NN with batch sharded on `data_axis` and points on
+    `point_axis`. x: [B, N, 3]. Returns nbr_idx [B, N, K] (global indices),
+    sharded the same way. Each device all-gathers its batch rows' full clouds
+    once (B/d_data × N × 3 floats) and computes distances for its own slab."""
+    def local_knn(x_loc):
+        x_full = jax.lax.all_gather(x_loc, point_axis, axis=1, tiled=True)
+        d2 = pairwise_sq_dists(x_loc, x_full)            # [B_loc, n_loc, N]
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32)
+
+    spec = P(data_axis, point_axis)
+    return shard_map(local_knn, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+
+
+def sharded_egnn_forward_batched(model: EGNN, params, h: Array, x: Array,
+                                 nbr_idx: Array, mesh: Mesh,
+                                 data_axis: str | None = "data",
+                                 point_axis: str = "point") -> tuple[Array, Array]:
+    """Batched point-sharded EGNN: h [B, N, C], x [B, N, 3], nbr_idx [B, N, K]
+    (global indices), each sharded P(data_axis, point_axis). The slab-mode
+    module (constructed with `axis_name=point_axis`) all-gathers the node
+    tables once per layer; the per-batch vmap rides inside shard_map so the
+    collective batches over B_loc.
+
+    Fully differentiable: `jax.grad` through this inserts the point-axis
+    gradient collectives automatically (all_gather transposes to
+    reduce-scatter; replicated params psum their cotangents over both axes).
+    """
+    assert model.axis_name == point_axis, \
+        "construct the EGNN with axis_name=point_axis"
+
+    def local_apply(params, h_loc, x_loc, nbr_loc):
+        apply_one = lambda hh, xx, nn: model.apply(params, hh, xx, nn)
+        return jax.vmap(apply_one)(h_loc, x_loc, nbr_loc)
+
+    spec = P(data_axis, point_axis)
+    return shard_map(
+        local_apply, mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=(spec, spec),
+    )(params, h, x, nbr_idx)
+
+
+def make_point_sharded_train_step(model, optimizer, cfg, mesh: Mesh,
+                                  data_axis: str | None = "data",
+                                  point_axis: str = "point"):
+    """Training step with the pair-batch sharded over `data_axis` AND the
+    point axis sharded over `point_axis` — the sequence-parallel analog the
+    reference cannot express (SURVEY.md §2.5), now for the BACKWARD too.
+
+    The EGNN embedding stage runs under shard_map in slab mode (activation
+    memory per device scales as N/d_point); the scoring/Kabsch head and the
+    losses run on the re-assembled [B, N, ·] arrays outside shard_map, where
+    pjit's sharding propagation parallelizes them. Gradients of the replicated
+    parameters are psum'd over BOTH mesh axes by the shard_map/pjit
+    transposes — no hand-written collectives.
+
+    `model` must be a RegistrationModel with direction='center' (slab-mode
+    aggregation, models/egnn.py) and egnn_impl='xla'. Returns a jitted
+    (state, batch) -> (state, metrics) with the same contract as
+    engine.make_train_step.
+    """
+    import optax
+
+    from ..train import losses as losses_lib
+    from ..train.engine import TrainState
+
+    assert model.direction == "center", "point sharding requires 'center'"
+    assert not model.use_pointnet, "pointnet encoder not supported point-sharded"
+    egnn_slab = EGNN(
+        in_node_nf=model.in_node_nf, hidden_nf=model.hidden_nf,
+        out_node_nf=model.hidden_nf, edge_attr_dim=model.edge_attr_dim,
+        n_layers=model.n_layers, num_heads=model.num_heads,
+        direction="center", so3_mode=model.so3_mode, axis_name=point_axis)
+
+    def loss_fn(params, batch):
+        nbr_src = sharded_knn_batched(batch["src_pts"], cfg.k, mesh,
+                                      data_axis, point_axis)
+        nbr_tgt = sharded_knn_batched(batch["tgt_pts"], cfg.k, mesh,
+                                      data_axis, point_axis)
+        egnn_params = {"params": params["params"]["egnn"]}
+        h_s, x_s = sharded_egnn_forward_batched(
+            egnn_slab, egnn_params, batch["src_feat"], batch["src_pts"],
+            nbr_src, mesh, data_axis, point_axis)
+        h_t, x_t = sharded_egnn_forward_batched(
+            egnn_slab, egnn_params, batch["tgt_feat"], batch["tgt_pts"],
+            nbr_tgt, mesh, data_axis, point_axis)
+        out = model.apply(
+            params, batch["src_feat"], batch["tgt_feat"],
+            batch["src_pts"], batch["tgt_pts"],
+            h_s, x_s, h_t, x_t, batch["labels"],
+            method="head_from_embeddings")
+        lb = losses_lib.total_loss(out, batch["gt_pose"], batch["labels"],
+                                   cfg.loss_weights)
+        return lb.total, lb
+
+    def step(state, batch):
+        (_, lb), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {k: v for k, v in lb._asdict().items()}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def shard_points_batch(batch, mesh: Mesh, data_axis: str | None = "data",
+                       point_axis: str = "point"):
+    """device_put a pair-batch dict with [B, N, ...] leaves sharded
+    P(data_axis, point_axis) and per-pair leaves (labels [B,N] included on
+    both axes; gt_pose [B,4,4] on data only)."""
+    from jax.sharding import NamedSharding
+
+    def put(name, a):
+        if a.ndim >= 2 and name != "gt_pose":
+            return jax.device_put(a, NamedSharding(mesh, P(data_axis, point_axis)))
+        return jax.device_put(a, NamedSharding(mesh, P(data_axis)))
+
+    return {k: put(k, v) for k, v in batch.items()}
+
+
 def sharded_egnn_forward(model: EGNN, params, h: Array, x: Array,
                          nbr_idx: Array, mesh: Mesh,
                          axis: str = "point") -> tuple[Array, Array]:

@@ -92,6 +92,56 @@ def test_data_parallel_train_step(mesh8, rng):
         assert leaf.sharding.is_fully_replicated
 
 
+def test_point_sharded_knn_batched_matches_dense(rng):
+    from se3_equi_graph_registration_tpu.parallel import sharded_knn_batched
+    mesh = make_mesh({"data": 2, "point": 4}, jax.devices()[:8])
+    x = jnp.asarray(rng.standard_normal((4, 128, 3)), jnp.float32)
+    dense = np.asarray(jax.vmap(lambda xx: knn.knn_graph(xx, 8))(x))
+    sharded = np.asarray(sharded_knn_batched(x, 8, mesh))
+    np.testing.assert_array_equal(dense, sharded)
+
+
+def test_point_sharded_train_step_matches_unsharded(rng):
+    """VERDICT round-1 item #3: the 2-axis (data x point) sharded training
+    step — forward, backward, and Adam update — must match the unsharded
+    step at fp32 tolerance. This is the CP-analog training milestone
+    (SURVEY.md §2.5; BASELINE '8K-16K pts/frame')."""
+    from se3_equi_graph_registration_tpu.parallel import (
+        make_point_sharded_train_step, shard_points_batch)
+
+    cfg = engine.EngineConfig(num_nodes=128, k=8, in_node_nf=16, hidden_nf=32,
+                              top_k=32)
+    model = engine.build_model(cfg)
+    opt = engine.build_optimizer(cfg)
+
+    batch_np = make_pair_batch(rng, batch=4, n=128, feat_dim=16)
+    batch = engine.batch_to_device(
+        (batch_np.corr, batch_np.labels, batch_np.src_pts, batch_np.tgt_pts,
+         batch_np.src_feat, batch_np.tgt_feat, batch_np.gt_pose))
+
+    state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    ref_step = engine.make_train_step(model, opt, cfg)
+    state_ref, m_ref = ref_step(state, batch)
+
+    mesh = make_mesh({"data": 2, "point": 4}, jax.devices()[:8])
+    state2 = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    state2 = jax.device_put(state2, NamedSharding(mesh, P()))
+    sharded_batch = shard_points_batch(batch, mesh)
+    ps_step = make_point_sharded_train_step(model, opt, cfg, mesh)
+    state_ps, m_ps = ps_step(state2, sharded_batch)
+
+    for key in m_ref:
+        assert np.isclose(float(m_ref[key]), float(m_ps[key]), atol=1e-4), key
+    for a, b in zip(jax.tree_util.tree_leaves(state_ref.params),
+                    jax.tree_util.tree_leaves(state_ps.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # a second step keeps working on the sharded state (donated buffers etc.)
+    state_ps2, m_ps2 = ps_step(state_ps, sharded_batch)
+    assert np.isfinite(float(m_ps2["total"]))
+    assert float(m_ps2["total"]) < float(m_ps["total"])
+
+
 def test_fit_loop_runs_and_improves(rng, tmp_path):
     cfg = engine.EngineConfig(num_nodes=64, k=8, in_node_nf=16, hidden_nf=32,
                               top_k=16, lr=1e-3)
