@@ -57,7 +57,8 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
                      dh_ref, dx_ref,
                      dw1hr_ref, dw1hc_ref, dw1g_ref, db1_ref, dw2_ref, db2_ref,
                      dlns_ref, dlnb_ref, dwc0_ref, dbc0_ref, dwc1_ref,
-                     *, T: int, E: int, K: int, N: int, C: int):
+                     *, T: int, E: int, K: int, N: int, C: int,
+                     window: int | None = None):
     b = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
@@ -89,8 +90,6 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     Rmat = (row_ids == local_center).astype(f32)
 
     nbr = nbr_ref[0]
-    n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
-    O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(f32)
 
     def dot(a_, b_):
         return jnp.dot(a_, b_, preferred_element_type=f32)
@@ -100,10 +99,20 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     def dotT(a_, b_):   # a [r, E] x b [s, E] -> [r, s]
         return jax.lax.dot_general(a_, b_, dn, preferred_element_type=f32)
 
-    ht = ht_ref[0]
-    xt = xt_ref[0]
-    h_col = dot(ht, O)
-    x_col = dot(xt, O)
+    if window is not None:
+        # curve-window gather/scatter (same invariant + S(i) as the forward
+        # kernel and ops/morton.window_starts — keep all three in sync)
+        pad_tiles = (window - T) // 2 // T if window > T else 0
+        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (window, E), 0) + S
+        O = (n_ids == jnp.broadcast_to(nbr, (window, E))).astype(f32)
+        h_col = dot(ht_ref[0, :, pl.ds(S, window)], O)
+        x_col = dot(xt_ref[0, :, pl.ds(S, window)], O)
+    else:
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
+        O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(f32)
+        h_col = dot(ht_ref[0], O)
+        x_col = dot(xt_ref[0], O)
     h_row = dot(h_tile, Rmat)
     x_row = dot(x_tile, Rmat)
 
@@ -217,16 +226,23 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     # rows (centers of this tile): slice-accumulate into the [C, N] buffer
     dh_ref[0, :, pl.ds(i * T, T)] += dotT(dh_row, Rmat)
     dx_ref[0, :, pl.ds(i * T, T)] += dotT(dx_row_e, Rmat)
-    # cols (arbitrary neighbors): contract E against the one-hot
-    dh_ref[0] += dotT(dh_col, O)
-    dx_ref[0] += dotT(dx_col_e, O)
+    # cols (neighbors): contract E against the one-hot — window mode only
+    # touches the window slice (all of this chunk's neighbors live there)
+    if window is not None:
+        dh_ref[0, :, pl.ds(S, window)] += dotT(dh_col, O)
+        dx_ref[0, :, pl.ds(S, window)] += dotT(dx_col_e, O)
+    else:
+        dh_ref[0] += dotT(dh_col, O)
+        dx_ref[0] += dotT(dx_col_e, O)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
+                                              "window"))
 def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                          dagg_m: Array, dagg_x: Array,
                          tile_t: int = 128, chunk: int = 512,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         window: int | None = None):
     """Edge-program backward. h [B,C,N], x [B,3,N] are the LAYER INPUTS;
     dagg_m [B,C,N], dagg_x [B,3,N] are cotangents of the aggregated messages /
     coordinate updates. Returns (dh, dx, EGCLParams gradients) where dh/dx are
@@ -246,7 +262,8 @@ def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                             memory_space=pltpu.VMEM)
 
     p = params
-    kernel = functools.partial(_egcl_bwd_kernel, T=T, E=E, K=k, N=n, C=c_dim)
+    kernel = functools.partial(_egcl_bwd_kernel, T=T, E=E, K=k, N=n, C=c_dim,
+                               window=window)
     full = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = [full((bsz, c_dim, n)), full((bsz, 3, n))] + \
         [full(q.shape) for q in (p.w1_hrow, p.w1_hcol, p.w1_geo, p.b1, p.w2,
@@ -310,31 +327,34 @@ def _node_forward(h, agg_m, params: EGCLParams):
     return h + out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def egcl_fused_diff(h, x, nbr_idx, params: EGCLParams,
                     tile_t: int = 128, chunk: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    window: int | None = None):
     """Differentiable fused EGCL layer (transposed layout h [B,C,N], x [B,3,N]).
 
     Forward = the Pallas forward kernel; backward = the hand-written Pallas
     edge-program backward + XLA node-path autodiff. fast (1-pass) precision.
+    `window` enables the curve-window gather/scatter in BOTH kernels (the
+    graph must come from ops/morton.knn_graph_window).
     """
     from .egcl_kernel import egcl_layer_pallas
     h_out, x_out, _ = egcl_layer_pallas(
         h, x, nbr_idx, params, tile_t=tile_t, chunk=chunk,
-        interpret=interpret, accurate=False, emit_aggm=True)
+        interpret=interpret, accurate=False, emit_aggm=True, window=window)
     return h_out, x_out
 
 
-def _fused_fwd(h, x, nbr_idx, params, tile_t, chunk, interpret):
+def _fused_fwd(h, x, nbr_idx, params, tile_t, chunk, interpret, window):
     from .egcl_kernel import egcl_layer_pallas
     h_out, x_out, agg_m = egcl_layer_pallas(
         h, x, nbr_idx, params, tile_t=tile_t, chunk=chunk,
-        interpret=interpret, accurate=False, emit_aggm=True)
+        interpret=interpret, accurate=False, emit_aggm=True, window=window)
     return (h_out, x_out), (h, x, nbr_idx, params, agg_m)
 
 
-def _fused_bwd(tile_t, chunk, interpret, res, cot):
+def _fused_bwd(tile_t, chunk, interpret, window, res, cot):
     h, x, nbr_idx, params, agg_m = res
     dh_out, dx_out = cot
 
@@ -355,7 +375,8 @@ def _fused_bwd(tile_t, chunk, interpret, res, cot):
     # cap its edge chunk independently so full-tile forward chunks don't OOM
     dh_edge, dx_edge, dparams = egcl_backward_pallas(
         h, x, nbr_idx, params, dagg_m, dagg_x,
-        tile_t=tile_t, chunk=min(chunk, 512), interpret=interpret)
+        tile_t=tile_t, chunk=min(chunk, 512), interpret=interpret,
+        window=window)
 
     dh = dh_node + dh_edge
     dx = dx_out + dx_edge

@@ -119,7 +119,8 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
                  wn0_ref, bn0_ref, wn1_ref, bn1_ref,
                  hout_ref, xout_ref, *rest,
                  T: int, E: int, K: int, N: int, C: int, accurate: bool,
-                 table_chunk: int, emit_aggm: bool = False):
+                 table_chunk: int, emit_aggm: bool = False,
+                 window: int | None = None, cast_bf16: bool = False):
     if emit_aggm:
         aggm_out_ref, aggm_ref, aggx_ref = rest
     else:
@@ -165,7 +166,28 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
         xt_part = xt_ref[0, :, pl.ds(base, NT)]
         return (h_acc + dot(ht_part, Opart), x_acc + dot(xt_part, Opart))
 
-    if N == NT:
+    if window is not None:
+        # Morton/Hilbert-window gather (ops/morton.py): the graph builder
+        # guarantees every neighbor of tile i lies in [S(i), S(i)+window), so
+        # comparing against the window slice alone is EXACT for this graph.
+        # S(i) must match morton.window_starts — keep in sync.
+        # S as clip(...) * T with the constant multiply OUTERMOST so Mosaic
+        # can statically prove the dynamic lane offset is 128-aligned
+        pad_tiles = (window - T) // 2 // T if window > T else 0
+        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        n_ids = jax.lax.broadcasted_iota(jnp.int32, (window, E), 0) + S
+        # fast compiled mode: bf16 one-hot + tables — bit-identical on TPU
+        # (DEFAULT-precision matmuls already round inputs to bf16) but ~5%
+        # less VMEM->MXU traffic; interpret mode keeps f32 (CPU DEFAULT is
+        # full fp32, so casting there would CHANGE numerics).
+        # h and x stack into ONE [C+3, W] gather matmul.
+        gdt = jnp.bfloat16 if cast_bf16 else f32
+        O = (n_ids == jnp.broadcast_to(nbr, (window, E))).astype(gdt)
+        tab = jnp.concatenate([ht_ref[0, :, pl.ds(S, window)],
+                               xt_ref[0, :, pl.ds(S, window)]], axis=0)
+        hx = dot(tab.astype(gdt), O)
+        h_col, x_col = hx[:C], hx[C:]
+    elif N == NT:
         n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
         O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(f32)
         h_col = dot(ht, O)            # [C, E]
@@ -250,18 +272,23 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
                                               "accurate", "table_chunk",
-                                              "emit_aggm"))
+                                              "emit_aggm", "window"))
 def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                       tile_t: int = 128, chunk: int = 512,
                       interpret: bool = False,
                       accurate: bool = True,
                       table_chunk: int = 2048,
-                      emit_aggm: bool = False):
+                      emit_aggm: bool = False,
+                      window: int | None = None):
     """One fused EGCL layer.
 
     h: [B, C, N] fp32 (transposed layout), x: [B, 3, N], nbr_idx: [B, N, K].
     Returns (h', x') in the same layout. N must divide by tile_t and
     tile_t*K by chunk.
+
+    window: if set, nbr_idx MUST satisfy the curve-window invariant
+    (ops/morton.knn_graph_window with the same tile/window) — gathers then
+    compare against [window, E] instead of [N, E].
     """
     b, c_dim, n = h.shape
     k = nbr_idx.shape[-1]
@@ -270,6 +297,9 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
     E = min(chunk, tk)
     assert n % T == 0 and tk % E == 0, (n, T, tk, E)
     assert n % min(n, table_chunk) == 0, (n, table_chunk)
+    if window is not None:
+        assert window % 128 == 0 and T <= window <= n, (window, T, n)
+        assert window % T == 0 and (n - window) % T == 0, (window, T, n)
     n_chunks = tk // E
     nbr_flat = nbr_idx.reshape(b, 1, n * k).astype(jnp.int32)
 
@@ -282,7 +312,8 @@ def egcl_layer_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
     p = params
     kernel = functools.partial(_egcl_kernel, T=T, E=E, K=k, N=n, C=c_dim,
                                accurate=accurate, table_chunk=table_chunk,
-                               emit_aggm=emit_aggm)
+                               emit_aggm=emit_aggm, window=window,
+                               cast_bf16=not accurate and not interpret)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -323,7 +354,8 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
                         tile_t: int = 128, chunk: int | None = None,
                         interpret: bool = False,
                         accurate: bool = True,
-                        table_chunk: int = 2048) -> tuple[Array, Array]:
+                        table_chunk: int = 2048,
+                        window: int | None = None) -> tuple[Array, Array]:
     """Full EGNN forward (embedding → n×EGCL → embedding) on the fused kernel.
 
     Takes the SAME flax variables tree as models/egnn.EGNN (standard layout
@@ -341,6 +373,9 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
         # loop) as long as the [table_chunk, chunk] one-hot stays in budget
         k = nbr_idx.shape[-1]
         chunk = 256 if accurate else tile_t * k
+        if window is not None and not accurate:
+            # keep the [window, chunk] one-hot within the VMEM budget
+            chunk = min(chunk, 2048)
     elif accurate and chunk > 256:
         chunk = 256
 
@@ -360,14 +395,14 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
             ht, xt = egcl_layer_pallas(ht, xt, nbr_idx, params,
                                        tile_t=tile_t, chunk=chunk,
                                        interpret=interpret, accurate=True,
-                                       table_chunk=table_chunk)
+                                       table_chunk=table_chunk, window=window)
         else:
             # fast mode routes through the custom-VJP layer: identical
             # forward kernel, hand-written Pallas backward — the whole EGNN
             # is differentiable end-to-end (egcl_backward.py)
             from .egcl_backward import egcl_fused_diff
             ht, xt = egcl_fused_diff(ht, xt, nbr_idx, params,
-                                     tile_t, chunk, interpret)
+                                     tile_t, chunk, interpret, window)
 
     h = jnp.swapaxes(ht, -1, -2)
     h = jnp.matmul(h, emb_out["kernel"], precision=prec) + emb_out["bias"]

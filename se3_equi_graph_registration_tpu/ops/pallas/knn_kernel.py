@@ -24,22 +24,33 @@ Array = jax.Array
 
 
 def _knn_kernel(xt_ref, out_ref, *, T: int, N: int, K: int,
-                include_self: bool):
+                include_self: bool, window: int | None = None):
     i = pl.program_id(1)
     f32 = jnp.float32
 
-    xt = xt_ref[0]                                   # [3, N]
     x_tile = xt_ref[0, :, pl.ds(i * T, T)]           # [3, T]
+    if window is not None:
+        # curve-window candidates (ops/morton.py invariant; S(i) must match
+        # morton.window_starts and the EGCL kernels — constant multiply
+        # OUTERMOST so Mosaic proves lane alignment)
+        pad_tiles = (window - T) // 2 // T if window > T else 0
+        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        cand = xt_ref[0, :, pl.ds(S, window)]        # [3, W]
+        W = window
+    else:
+        S = 0
+        cand = xt_ref[0]                             # [3, N]
+        W = N
 
-    x2_full = jnp.sum(xt * xt, axis=0, keepdims=True)          # [1, N]
+    x2_full = jnp.sum(cand * cand, axis=0, keepdims=True)      # [1, W]
     x2_tile = jnp.sum(x_tile * x_tile, axis=0, keepdims=True)  # [1, T]
     cross = jax.lax.dot_general(
-        x_tile, xt, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    d2 = x2_tile.T - 2.0 * cross + x2_full                     # [T, N]
+        x_tile, cand, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    d2 = x2_tile.T - 2.0 * cross + x2_full                     # [T, W]
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1) + S  # global ids
     if not include_self:
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, N), 0) + i * T
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0) + i * T
         d2 = jnp.where(lane_ids == row_ids, jnp.inf, d2)
 
     # K is static — unroll so every output column store has a static index
@@ -56,20 +67,28 @@ def _knn_kernel(xt_ref, out_ref, *, T: int, N: int, K: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "include_self", "tile_t",
-                                             "interpret"))
+                                             "interpret", "window"))
 def knn_pallas(x: Array, k: int, include_self: bool = True,
-               tile_t: int = 256, interpret: bool = False) -> Array:
-    """Exact k-NN of x [B, N, 3] (or [N, 3]) → nbr_idx int32 [B, N, K]."""
+               tile_t: int = 256, interpret: bool = False,
+               window: int | None = None) -> Array:
+    """Exact k-NN of x [B, N, 3] (or [N, 3]) → nbr_idx int32 [B, N, K].
+
+    window: exact k-NN restricted to the curve window (x must be sorted by
+    ops/morton.morton_perm; tile_t must equal the consuming EGCL kernel's
+    tile). Matches morton.knn_graph_window bit-for-bit at the same
+    tile/window."""
     squeeze = x.ndim == 2
     if squeeze:
         x = x[None]
     b, n, _ = x.shape
     T = min(tile_t, n)
     assert n % T == 0, (n, T)
+    if window is not None:
+        assert window % T == 0 and (n - window) % T == 0, (window, T, n)
     xt = jnp.swapaxes(x, -1, -2).astype(jnp.float32)   # [B, 3, N]
 
     kernel = functools.partial(_knn_kernel, T=T, N=n, K=k,
-                               include_self=include_self)
+                               include_self=include_self, window=window)
     out = pl.pallas_call(
         kernel,
         grid=(b, n // T),

@@ -37,9 +37,10 @@ class TrainState:
 
 
 def fast_tpu_config(**overrides) -> "EngineConfig":
-    """Production-throughput knob set: fused Pallas EGNN at single-pass
-    matmul precision, approx k-selection everywhere, quaternion Kabsch."""
-    kw = dict(egnn_impl="pallas", knn_method="approx", kabsch_solver="quaternion",
+    """Production-throughput knob set: Hilbert-sorted window graphs feeding
+    the fused Pallas EGNN with windowed gathers at single-pass matmul
+    precision, approx head k-selection, quaternion Kabsch."""
+    kw = dict(egnn_impl="pallas", knn_method="morton", kabsch_solver="quaternion",
               topk_method="approx", egnn_accurate=False)
     kw.update(overrides)
     return EngineConfig(**kw)
@@ -59,6 +60,11 @@ class EngineConfig:
     lr: float = 1e-4
     lr_step: int = 200              # StepLR(step_size=200, gamma=0.5)
     lr_gamma: float = 0.5
+    lr_step_unit: str = "step"      # 'step' | 'epoch'. The reference's StepLR
+                                    # steps per EPOCH (3dmatch driver :1412-
+                                    # 1413, 500 epochs); 'epoch' reproduces
+                                    # that exactly given steps_per_epoch
+                                    # (the dataset presets use it).
     direction: str = "center"
     so3_mode: str = "frame"
     loss_weights: losses_lib.LossWeights = losses_lib.LossWeights()
@@ -66,7 +72,13 @@ class EngineConfig:
     egnn_impl: str = "xla"          # 'xla' | 'pallas' fused TPU layer kernel
     knn_method: str = "exact"       # 'exact' (lax.top_k) | 'approx'
                                     # (lax.approx_min_k) | 'pallas' (exact
-                                    # fused kernel, ~7x faster than top_k)
+                                    # fused kernel, ~7x faster than top_k) |
+                                    # 'morton' (Hilbert-sorted window graph +
+                                    # windowed Pallas gathers, ops/morton.py)
+    egnn_window: int = 384          # morton mode: curve-window width (lanes)
+    egnn_tile: int = 128            # morton mode: kernel center-tile (must
+                                    # match between graph builder and kernels)
+    curve: str = "hilbert"          # morton mode: 'hilbert' | 'morton'
     knn_recall: float = 0.85        # approx_min_k recall target (v5e: 0.85 is
                                     # 3.4x faster than 0.95 with ~5% more
                                     # neighbor churn the EGNN tolerates)
@@ -99,8 +111,71 @@ def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
     return opt
 
 
+def _apply_morton_fast(model, cfg, params, batch):
+    """Curve-window fast path (ROADMAP 'Morton window'): sort each cloud along
+    a space-filling curve, build the window-restricted k-NN graph in sorted
+    space (ops/morton.py), run the fused Pallas EGNN with windowed gathers
+    (N/window fewer one-hot compares), un-sort, and run the scoring/Kabsch
+    head on the original point order (labels/similarity pairing preserved —
+    src and tgt sort differently, so the permutation must not leak past the
+    permutation-equivariant EGNN)."""
+    import jax.numpy as jnp
+
+    from ..ops import morton
+    from ..ops.pallas.egcl_kernel import egnn_forward_pallas
+
+    interp = jax.default_backend() != "tpu"
+    egnn_vars = {"params": params["params"]["egnn"]}
+
+    def embed(h, x):
+        perm = morton.morton_perm(x, curve=cfg.curve)          # [B, N]
+        xs = jnp.take_along_axis(x, perm[..., None], axis=1)
+        hs = jnp.take_along_axis(h, perm[..., None], axis=1)
+        if cfg.egnn_impl == "pallas" and not interp:
+            # fused window-knn kernel (same neighbor sets/tie-breaks as the
+            # XLA builder; tile must match the EGCL kernel's tile_t)
+            from ..ops.pallas.knn_kernel import knn_pallas
+            nbr = knn_pallas(xs, cfg.k, tile_t=cfg.egnn_tile,
+                             window=cfg.egnn_window)
+        else:
+            nbr = jax.vmap(lambda xx: morton.knn_graph_window(
+                xx, cfg.k, tile=cfg.egnn_tile, window=cfg.egnn_window))(xs)
+        if cfg.egnn_impl == "pallas":
+            h2, x2 = egnn_forward_pallas(egnn_vars, hs, xs, nbr,
+                                         tile_t=cfg.egnn_tile,
+                                         interpret=interp,
+                                         accurate=cfg.egnn_accurate,
+                                         window=cfg.egnn_window)
+        else:
+            # XLA twin on the same window graph (e.g. the accurate-precision
+            # train step, which has no Pallas backward — make_train_step
+            # rewrites egnn_impl for that combination)
+            from ..models.egnn import EGNN
+            egnn_mod = EGNN(in_node_nf=model.in_node_nf,
+                            hidden_nf=model.hidden_nf,
+                            out_node_nf=model.hidden_nf,
+                            edge_attr_dim=model.edge_attr_dim,
+                            n_layers=model.n_layers, num_heads=model.num_heads,
+                            direction="center", so3_mode=model.so3_mode)
+            h2, x2 = egnn_mod.apply(egnn_vars, hs, xs, nbr)
+        inv = jnp.argsort(perm, axis=-1)
+        return (jnp.take_along_axis(h2, inv[..., None], axis=1),
+                jnp.take_along_axis(x2, inv[..., None], axis=1))
+
+    h_s, x_s = embed(batch["src_feat"], batch["src_pts"])
+    h_t, x_t = embed(batch["tgt_feat"], batch["tgt_pts"])
+    return model.apply(params, batch["src_feat"], batch["tgt_feat"],
+                       batch["src_pts"], batch["tgt_pts"],
+                       h_s, x_s, h_t, x_t, batch["labels"],
+                       method="head_from_embeddings")
+
+
 def _apply_with_graphs(model, cfg, params, batch):
     """k-NN graphs + model forward, all inside jit."""
+    if cfg.knn_method == "morton":
+        assert model.direction == "center" and model.so3_mode == "frame", \
+            "morton fast path uses the fused kernel's canonical mode"
+        return _apply_morton_fast(model, cfg, params, batch)
     if cfg.knn_method == "pallas":
         # exact fused kernel (identical neighbor SETS to lax.top_k; fp
         # near-tie ordering may differ — aggregation is order-invariant)
@@ -130,6 +205,8 @@ def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
     """
     if model.egnn_impl == "pallas" and model.egnn_accurate:
         model = model.clone(egnn_impl="xla")
+        if cfg.egnn_impl == "pallas":
+            cfg = dataclasses.replace(cfg, egnn_impl="xla")
 
     def loss_fn(params, batch):
         out = _apply_with_graphs(model, cfg, params, batch)

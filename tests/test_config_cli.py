@@ -54,7 +54,7 @@ def test_flat_dict_contains_loss_weights():
 
 def test_fast_tpu_config_helper():
     cfg = engine.fast_tpu_config(num_nodes=512)
-    assert cfg.egnn_impl == "pallas" and cfg.knn_method == "approx"
+    assert cfg.egnn_impl == "pallas" and cfg.knn_method == "morton"
     assert cfg.kabsch_solver == "quaternion" and cfg.num_nodes == 512
 
 

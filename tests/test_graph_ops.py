@@ -134,3 +134,38 @@ def test_nbr_to_edge_list_conventions():
     row2, col2 = knn.nbr_to_edge_list(nbr, "cluster")
     np.testing.assert_array_equal(np.asarray(row2), np.asarray(col))
     np.testing.assert_array_equal(np.asarray(col2), np.asarray(row))
+
+
+def test_morton_window_graph_invariants(rng):
+    """Curve perm is a permutation; window graphs satisfy the kernel's window
+    invariant, include self-loops, and keep >=80% of true k-NN edges."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    x = jnp.asarray(rng.standard_normal((1024, 3)), jnp.float32)
+    for curve in ("morton", "hilbert"):
+        perm = np.asarray(morton.morton_perm(x, curve=curve))
+        assert sorted(perm.tolist()) == list(range(1024))
+
+    xs = jnp.asarray(np.asarray(x)[np.asarray(morton.morton_perm(x))])
+    k, tile, window = 16, 128, 384
+    nbr = np.asarray(morton.knn_graph_window(xs, k, tile, window))
+    starts = np.asarray(morton.window_starts(1024, tile, window))
+    blocks = nbr.reshape(-1, tile, k)
+    for i, s in enumerate(starts):
+        assert blocks[i].min() >= s and blocks[i].max() < s + window
+    assert all(i in set(nbr[i]) for i in range(1024))      # self-loops
+
+    recall = morton.window_recall(x, k, tile, window)
+    assert recall >= 0.80, recall
+    # hilbert should not be worse than morton on this cloud
+    assert recall >= morton.window_recall(x, k, tile, window, curve="morton") - 0.02
+
+
+def test_morton_batched_perm(rng):
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    x = jnp.asarray(rng.standard_normal((3, 256, 3)), jnp.float32)
+    perm = np.asarray(morton.morton_perm(x))
+    assert perm.shape == (3, 256)
+    for b in range(3):
+        assert sorted(perm[b].tolist()) == list(range(256))
