@@ -115,6 +115,32 @@ def window_starts(n: int, tile: int, window: int) -> Array:
     return jnp.clip(i - pad_tiles, 0, (n - window) // tile) * tile
 
 
+@jax.custom_vjp
+def permute_rows(x: Array, perm: Array, inv: Array) -> Array:
+    """Gather rows of x [B, N, C] by perm [B, N] — with a SCATTER-FREE
+    backward: the transpose of a permutation gather is a gather by the
+    inverse permutation (`inv = argsort(perm)`), whereas jax's generic
+    take_along_axis transpose lowers to a serial scatter-add that costs
+    ~100x more than the forward on TPU."""
+    return jnp.take_along_axis(x, perm[..., None], axis=1)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return permute_rows(x, perm, inv), (perm, inv)
+
+
+def _permute_rows_bwd(res, g):
+    import numpy as np
+
+    perm, inv = res
+    gx = jnp.take_along_axis(g, inv[..., None], axis=1)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return gx, f0(perm), f0(inv)
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "window"))
 def knn_graph_window(x_sorted: Array, k: int, tile: int = 128,
                      window: int = 384) -> Array:

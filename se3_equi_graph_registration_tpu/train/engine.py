@@ -99,13 +99,32 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet)
 
 
-def build_optimizer(cfg: EngineConfig) -> optax.GradientTransformation:
-    """Adam + step decay — reference Adam(lr) + StepLR(200, 0.5) (:1412-1413).
-    `lr_step` is interpreted in optimizer steps (the reference steps per epoch)."""
-    schedule = optax.exponential_decay(
-        init_value=cfg.lr, transition_steps=cfg.lr_step,
+def lr_schedule(cfg: EngineConfig,
+                steps_per_epoch: Optional[int] = None) -> optax.Schedule:
+    """Staircase decay matching the reference's StepLR(step_size, gamma)
+    (src/3dmatch_train_egnn_with_batch.py:1412-1413). StepLR counts EPOCHS;
+    with lr_step_unit='epoch' the boundary converts to optimizer steps via
+    `steps_per_epoch` (with gradient accumulation the optimizer — and hence
+    this schedule — advances once per `grad_accum_steps` micro-batches, so
+    pass MICRO-batches per epoch; the division happens here)."""
+    transition = cfg.lr_step
+    if cfg.lr_step_unit == "epoch":
+        if steps_per_epoch is None:
+            raise ValueError(
+                "lr_step_unit='epoch' requires steps_per_epoch (dataset_size"
+                " // batch_size); the CLI computes it from the dataset")
+        transition = max(1, cfg.lr_step * steps_per_epoch // cfg.grad_accum_steps)
+    elif cfg.lr_step_unit != "step":
+        raise ValueError(f"unknown lr_step_unit {cfg.lr_step_unit!r}")
+    return optax.exponential_decay(
+        init_value=cfg.lr, transition_steps=transition,
         decay_rate=cfg.lr_gamma, staircase=True)
-    opt = optax.adam(schedule)
+
+
+def build_optimizer(cfg: EngineConfig,
+                    steps_per_epoch: Optional[int] = None) -> optax.GradientTransformation:
+    """Adam + step decay — reference Adam(lr) + StepLR(200, 0.5) (:1412-1413)."""
+    opt = optax.adam(lr_schedule(cfg, steps_per_epoch))
     if cfg.grad_accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
@@ -129,8 +148,11 @@ def _apply_morton_fast(model, cfg, params, batch):
 
     def embed(h, x):
         perm = morton.morton_perm(x, curve=cfg.curve)          # [B, N]
-        xs = jnp.take_along_axis(x, perm[..., None], axis=1)
-        hs = jnp.take_along_axis(h, perm[..., None], axis=1)
+        inv = jnp.argsort(perm, axis=-1)
+        # scatter-free-backward permutation (morton.permute_rows) — the
+        # generic gather transpose is a serial TPU scatter, ~100x slower
+        xs = morton.permute_rows(x, perm, inv)
+        hs = morton.permute_rows(h, perm, inv)
         if cfg.egnn_impl == "pallas" and not interp:
             # fused window-knn kernel (same neighbor sets/tie-breaks as the
             # XLA builder; tile must match the EGCL kernel's tile_t)
@@ -158,9 +180,8 @@ def _apply_morton_fast(model, cfg, params, batch):
                             n_layers=model.n_layers, num_heads=model.num_heads,
                             direction="center", so3_mode=model.so3_mode)
             h2, x2 = egnn_mod.apply(egnn_vars, hs, xs, nbr)
-        inv = jnp.argsort(perm, axis=-1)
-        return (jnp.take_along_axis(h2, inv[..., None], axis=1),
-                jnp.take_along_axis(x2, inv[..., None], axis=1))
+        return (morton.permute_rows(h2, inv, perm),
+                morton.permute_rows(x2, inv, perm))
 
     h_s, x_s = embed(batch["src_feat"], batch["src_pts"])
     h_t, x_t = embed(batch["tgt_feat"], batch["tgt_pts"])
@@ -275,11 +296,24 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
         val_batches: Optional[Callable[[], Iterable]] = None,
         checkpointer=None, checkpoint_every: int = 20,
         logger: Optional[Callable[[int, dict], None]] = None,
-        mesh=None) -> TrainState:
+        mesh=None, profile_dir: Optional[str] = None) -> TrainState:
     """Epoch loop with correct loss averaging (the reference's running-total
     accumulation is buggy — SURVEY.md §7 'defects not to replicate'), periodic
-    + best-val checkpointing (:1435-1441 semantics)."""
+    + best-val checkpointing (:1435-1441 semantics).
+
+    Metrics accumulate ON DEVICE and are fetched once per epoch — a per-step
+    `float(v)` would serialize dispatch and cap throughput at the host
+    round-trip rate. `profile_dir` wraps the FIRST epoch in
+    `jax.profiler.trace` (viewable in TensorBoard / xprof).
+    """
+    import contextlib
+
+    from ..parallel.distributed import host_local_to_global
     from ..parallel.mesh import shard_pair_batch
+
+    if mesh is not None and jax.process_count() > 1:
+        # multi-host: every process feeds its LOCAL slice of the global batch
+        shard_pair_batch = host_local_to_global
 
     train_step = make_train_step(model, optimizer, cfg)
     eval_model = build_model(cfg, head_mode="train")
@@ -287,17 +321,20 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
 
     best_val = np.inf
     for epoch in range(epochs):
+        trace_ctx = (jax.profiler.trace(profile_dir)
+                     if profile_dir and epoch == 0 else contextlib.nullcontext())
         t0 = time.time()
-        sums, count = {}, 0
-        for batch in train_batches():
-            batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
-            if mesh is not None:
-                batch = shard_pair_batch(batch, mesh)
-            state, m = train_step(state, batch)
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        train_metrics = {k: v / max(count, 1) for k, v in sums.items()}
+        ms = []  # per-step metric pytrees stay ON DEVICE; reduced once below
+        with trace_ctx:
+            for batch in train_batches():
+                batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
+                if mesh is not None:
+                    batch = shard_pair_batch(batch, mesh)
+                state, m = train_step(state, batch)
+                ms.append(m)
+        # one stack+mean+fetch per metric per EPOCH (not per step)
+        train_metrics = {k: float(jnp.mean(jnp.stack([m[k] for m in ms])))
+                         for k in (ms[0] if ms else {})}
         train_metrics["epoch_seconds"] = time.time() - t0
 
         if val_batches is not None:
