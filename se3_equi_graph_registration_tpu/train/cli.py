@@ -57,9 +57,16 @@ def _loader(cfg: ExperimentConfig, split: str, shuffle: bool):
     ds = _build_dataset(cfg, split)
     if ds is None:
         return lambda: _synthetic_batches(cfg)
-    return lambda: PairLoader(ds, cfg.data.batch_size, shuffle=shuffle,
+    # multi-host: each process loads its interleaved slice of the global
+    # batch (parallel/distributed.py); single-process this is (0, 1) = all
+    from ..parallel.distributed import process_shard_info
+    proc_idx, proc_cnt = process_shard_info()
+    per_process = max(1, cfg.data.batch_size // proc_cnt)
+    return lambda: PairLoader(ds, per_process, shuffle=shuffle,
                               seed=cfg.data.seed,
-                              num_workers=cfg.data.num_workers)
+                              num_workers=cfg.data.num_workers,
+                              process_shard=(proc_idx, proc_cnt)
+                              if proc_cnt > 1 else None)
 
 
 def _jsonl_logger(path: str):
@@ -88,10 +95,18 @@ def _load_params(path: str, cfg: ExperimentConfig, model, template_state):
     return restored[0].params
 
 
+def _steps_per_epoch(cfg: ExperimentConfig) -> int:
+    """Micro-batches per epoch for epoch-unit LR boundaries (engine.lr_schedule)."""
+    ds = _build_dataset(cfg, "train")
+    if ds is None:
+        return 4  # _synthetic_batches yields 4 batches per epoch
+    return max(1, len(ds) // cfg.data.batch_size)
+
+
 def cmd_train(cfg: ExperimentConfig, args) -> None:
     ecfg = cfg.engine
     model = engine.build_model(ecfg)
-    opt = engine.build_optimizer(ecfg)
+    opt = engine.build_optimizer(ecfg, steps_per_epoch=_steps_per_epoch(cfg))
 
     train_batches = _loader(cfg, "train", shuffle=True)
     val_batches = _loader(cfg, "val", shuffle=False) \
@@ -109,11 +124,14 @@ def cmd_train(cfg: ExperimentConfig, args) -> None:
 
     mesh = None
     if cfg.run.data_parallel and len(jax.devices()) > 1:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.distributed import global_mesh
         n_dev = len(jax.devices())
         if cfg.data.batch_size % n_dev == 0:
-            mesh = make_mesh({"data": n_dev})
-            print(f"data-parallel over {n_dev} devices")
+            # data axis crosses hosts over DCN when this is a multi-process
+            # run; pure ICI mesh otherwise
+            mesh = global_mesh({"data": n_dev}, dcn_axis="data")
+            print(f"data-parallel over {n_dev} devices, "
+                  f"{jax.process_count()} process(es)")
 
     print(json.dumps(to_flat_dict(cfg), indent=2, default=str))
     state = engine.fit(
@@ -128,7 +146,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> None:
 def cmd_eval(cfg: ExperimentConfig, args) -> None:
     ecfg = cfg.engine
     model = engine.build_model(ecfg, head_mode="eval_fusion")
-    opt = engine.build_optimizer(ecfg)
+    # optimizer only shapes the template state here; any schedule works
+    opt = engine.build_optimizer(ecfg, steps_per_epoch=1)
 
     batches_fn = _loader(cfg, "test", shuffle=False) \
         if cfg.data.dataset != "synthetic" else _loader(cfg, "test", False)
@@ -150,6 +169,10 @@ def main(argv=None):
     if not argv or argv[0] not in ("train", "eval"):
         raise SystemExit("usage: cli.py {train|eval} [--preset ...] ...")
     command, rest = argv[0], argv[1:]
+    # multi-process runs (pods / multi-slice) initialize before first
+    # backend touch; single-process is a no-op (parallel/distributed.py)
+    from ..parallel.distributed import init_distributed
+    init_distributed()
     cfg, args = parse_cli(rest, description=f"{command} entry point")
     if command == "train":
         cmd_train(cfg, args)

@@ -48,8 +48,11 @@ class ExperimentConfig:
 def preset(name: str) -> ExperimentConfig:
     """Named presets mirroring the reference's three driver configurations."""
     if name == "3dmatch":
+        # lr_step_unit='epoch': the reference's StepLR(200, 0.5) counts
+        # EPOCHS (:1412-1413) — the CLI converts via the dataset size
         return ExperimentConfig(
-            engine=EngineConfig(in_node_nf=32, top_k=128),
+            engine=EngineConfig(in_node_nf=32, top_k=128,
+                                lr_step_unit="epoch"),
             data=DataConfig(dataset="3dmatch", descriptor="fcgf"),
             run=RunConfig(epochs=500))
     if name == "kitti":
@@ -57,7 +60,7 @@ def preset(name: str) -> ExperimentConfig:
         # (src/kitti_train_egnn_with_batch.py:1515-1518, :663, :1089)
         return ExperimentConfig(
             engine=EngineConfig(
-                in_node_nf=33, top_k=2048,
+                in_node_nf=33, top_k=2048, lr_step_unit="epoch",
                 loss_weights=losses_lib.LossWeights(corr=1.0, sim=1.0,
                                                     rot=0.0, trans=0.0, equi=1.0)),
             data=DataConfig(dataset="kitti", descriptor="fpfh"),

@@ -72,3 +72,38 @@ def test_remat_flag_runs(rng):
     step = engine.make_train_step(model, opt, cfg)
     state, m = step(state, batch)
     assert np.isfinite(float(m["total"]))
+
+
+def test_lr_schedule_epoch_unit_boundaries():
+    """lr_step_unit='epoch' must reproduce StepLR(step_size epochs, gamma)
+    exactly given steps_per_epoch (reference :1412-1413)."""
+    import numpy as np
+
+    cfg = engine.EngineConfig(lr=1e-4, lr_step=2, lr_gamma=0.5,
+                              lr_step_unit="epoch")
+    sched = engine.lr_schedule(cfg, steps_per_epoch=5)
+    # 2 epochs x 5 steps = decay every 10 optimizer steps
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(9)), 1e-4)
+    assert np.isclose(float(sched(10)), 5e-5)
+    assert np.isclose(float(sched(19)), 5e-5)
+    assert np.isclose(float(sched(20)), 2.5e-5)
+
+    # grad accumulation: the optimizer advances once per k micro-batches
+    cfg2 = engine.EngineConfig(lr=1e-4, lr_step=2, lr_gamma=0.5,
+                               lr_step_unit="epoch", grad_accum_steps=5)
+    sched2 = engine.lr_schedule(cfg2, steps_per_epoch=5)
+    assert np.isclose(float(sched2(1)), 1e-4)
+    assert np.isclose(float(sched2(2)), 5e-5)
+
+    # epoch unit without steps_per_epoch must fail loudly
+    import pytest
+    with pytest.raises(ValueError):
+        engine.lr_schedule(cfg, None)
+
+    # the dataset presets opt into epoch units
+    from se3_equi_graph_registration_tpu.train import config as config_lib
+    assert config_lib.preset("3dmatch").engine.lr_step_unit == "epoch"
+    assert config_lib.preset("kitti").engine.lr_step_unit == "epoch"
+    # step-unit default stays valid without steps_per_epoch
+    assert np.isclose(float(engine.lr_schedule(engine.EngineConfig())(0)), 1e-4)
