@@ -23,7 +23,9 @@ import numpy as np
 
 
 def bench(batch_sizes=(16, 32, 64), n=2048, k=16, c=32, iters=20, warmup=3,
-          verbose=False):
+          verbose=False, profile_dir=None):
+    import contextlib
+
     import jax
 
     from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
@@ -69,10 +71,13 @@ def bench(batch_sizes=(16, 32, 64), n=2048, k=16, c=32, iters=20, warmup=3,
         for _ in range(warmup):
             carry = forward_chain(params, batch, carry)
         float(carry)
+        trace_ctx = (jax.profiler.trace(profile_dir) if profile_dir
+                     else contextlib.nullcontext())
         t0 = time.perf_counter()
-        for _ in range(iters):
-            carry = forward_chain(params, batch, carry)
-        float(carry)  # host fetch forces the whole chain
+        with trace_ctx:
+            for _ in range(iters):
+                carry = forward_chain(params, batch, carry)
+            float(carry)  # host fetch forces the whole chain
         dt = (time.perf_counter() - t0) / iters
         pps = b / dt
         if verbose:
@@ -90,10 +95,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batches", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="wrap the timed loop in jax.profiler.trace(DIR)")
     args = ap.parse_args()
 
     value, best_b = bench(batch_sizes=tuple(args.batches), n=args.n, k=args.k,
-                          iters=args.iters, verbose=args.verbose)
+                          iters=args.iters, verbose=args.verbose,
+                          profile_dir=args.profile)
     target = 1000.0  # BASELINE.json: >=1000 pairs/s @ 2048 pts on v5e-8
     print(json.dumps({
         "metric": f"registration_pairs_per_sec_{args.n}pts_single_chip",

@@ -56,3 +56,31 @@ def test_guard_fit_saves_emergency(tmp_path):
     with pytest.raises(RuntimeError):
         debugging.guard_fit(boom, FakeCkpt(), lambda: FakeState())
     assert FakeCkpt.saved == (7, {"emergency": 1.0})
+
+
+def test_guard_fit_emergency_checkpoint(tmp_path):
+    """A crash inside the guarded fit must save a resumable emergency
+    checkpoint of the latest state before re-raising (the failure-recovery
+    story, utils/debugging.py)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from se3_equi_graph_registration_tpu.train import engine
+    from se3_equi_graph_registration_tpu.train.checkpoints import TrainCheckpointer
+
+    state = engine.TrainState(params={"w": jnp.ones((3,))},
+                              opt_state=(), step=jnp.asarray(7, jnp.int32))
+    ckpt = TrainCheckpointer(str(tmp_path / "emergency"))
+
+    def crashing_fit():
+        raise RuntimeError("data corruption at step 7")
+
+    with pytest.raises(RuntimeError, match="data corruption"):
+        debugging.guard_fit(crashing_fit, ckpt, lambda: state)
+
+    restored = ckpt.restore_latest(state)
+    assert restored is not None
+    rstate, step = restored
+    assert step == 7
+    assert jnp.array_equal(rstate.params["w"], state.params["w"])
