@@ -43,23 +43,36 @@ class PairLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 4, prefetch: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 process_shard: tuple[int, int] | None = None):
+        """process_shard=(process_index, process_count): multi-host input
+        sharding (parallel/distributed.py) — every process sees the SAME
+        seeded shuffle but iterates only its interleaved slice, so each
+        host loads 1/count of the data and the per-host batches concatenate
+        to one coherent global batch via host_local_to_global()."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_shard is not None:
+            idx, cnt = self.process_shard
+            n = len(range(idx, n, cnt))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_shard is not None:
+            idx, cnt = self.process_shard
+            order = order[idx::cnt]
         stop = (len(order) // self.batch_size * self.batch_size
                 if self.drop_last else len(order))
         for i in range(0, stop, self.batch_size):

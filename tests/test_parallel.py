@@ -164,3 +164,44 @@ def test_fit_loop_runs_and_improves(rng, tmp_path):
                               save_path=str(tmp_path / "results.txt"))
     assert np.isfinite(summary["avg_rotation_error_deg"])
     assert (tmp_path / "results.txt").read_text().startswith("Average Rotation Error")
+
+
+def test_distributed_layer_single_process(rng):
+    """Multi-host helpers must degrade cleanly on one process: init is a
+    no-op, global_mesh == plain mesh, host_local_to_global == sharded
+    device_put, and loader process-sharding partitions the index space."""
+    from se3_equi_graph_registration_tpu.data.pipeline import PairLoader
+    from se3_equi_graph_registration_tpu.parallel import (
+        global_mesh, host_local_to_global, init_distributed,
+        process_shard_info)
+
+    assert init_distributed() is False          # single process: no-op
+    assert process_shard_info() == (0, 1)
+
+    mesh = global_mesh({"data": 8}, dcn_axis="data", devices=jax.devices()[:8])
+    assert mesh.shape == {"data": 8}
+
+    batch = {"a": np.arange(32, dtype=np.float32).reshape(8, 4),
+             "b": np.ones((8, 2, 2), np.float32)}
+    glob = host_local_to_global(batch, mesh)
+    assert glob["a"].shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(glob["a"]), batch["a"])
+    assert not glob["a"].sharding.is_fully_replicated   # sharded on 'data'
+
+    # loader sharding: two pseudo-processes with the same seed cover the
+    # dataset disjointly, batches interleave the SAME global shuffle
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return (np.full((4, 2), i, np.float32),) * 7
+
+    seen = []
+    for pidx in range(2):
+        loader = PairLoader(DS(), batch_size=4, shuffle=True, seed=3,
+                            num_workers=1, process_shard=(pidx, 2))
+        assert len(loader) == 4
+        for b in loader:
+            seen.extend(int(v) for v in b[0][:, 0, 0])
+    assert sorted(seen) == list(range(32))
