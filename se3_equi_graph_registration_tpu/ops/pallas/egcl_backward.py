@@ -58,7 +58,7 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
                      dw1hr_ref, dw1hc_ref, dw1g_ref, db1_ref, dw2_ref, db2_ref,
                      dlns_ref, dlnb_ref, dwc0_ref, dbc0_ref, dwc1_ref,
                      *, T: int, E: int, K: int, N: int, C: int,
-                     window: int | None = None):
+                     window: int | None = None, accurate: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
@@ -90,14 +90,17 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     Rmat = (row_ids == local_center).astype(f32)
 
     nbr = nbr_ref[0]
+    prec = (jax.lax.Precision.HIGHEST if accurate
+            else jax.lax.Precision.DEFAULT)
 
     def dot(a_, b_):
-        return jnp.dot(a_, b_, preferred_element_type=f32)
+        return jnp.dot(a_, b_, preferred_element_type=f32, precision=prec)
 
     dn = (((1,), (1,)), ((), ()))  # contract last axes (E with E)
 
     def dotT(a_, b_):   # a [r, E] x b [s, E] -> [r, s]
-        return jax.lax.dot_general(a_, b_, dn, preferred_element_type=f32)
+        return jax.lax.dot_general(a_, b_, dn, preferred_element_type=f32,
+                                   precision=prec)
 
     if window is not None:
         # curve-window gather/scatter (same invariant + S(i) as the forward
@@ -167,9 +170,9 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     drel_coord = dax * scale
 
     # coord MLP backward
-    dcm = wc1_ref[:].T @ dscale                      # [C, E]
+    dcm = dot(wc1_ref[:].T, dscale)                      # [C, E]
     dcm_in = _dsilu(cm_in) * dcm
-    dm = dm + wc0_ref[:].T @ dcm_in
+    dm = dm + dot(wc0_ref[:].T, dcm_in)
     dwc1_ref[:] += dotT(dscale, cm)
     dwc0_ref[:] += dotT(dcm_in, m)
     dbc0_ref[:] += jnp.sum(dcm_in, axis=1, keepdims=True)
@@ -183,7 +186,7 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
 
     dw2_ref[:] += dotT(dv, s1)
     db2_ref[:] += jnp.sum(dv, axis=1, keepdims=True)
-    ds1 = w2_ref[:].T @ dv
+    ds1 = dot(w2_ref[:].T, dv)
     du = _dsilu(u) * ds1
 
     dw1hr_ref[:] += dotT(du, h_row)
@@ -191,9 +194,9 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     dw1g_ref[:] += dotT(du, geo)
     db1_ref[:] += jnp.sum(du, axis=1, keepdims=True)
 
-    dh_row = w1hr_ref[:].T @ du                      # [C, E]
-    dh_col = w1hc_ref[:].T @ du
-    dgeo = w1g_ref[:].T @ du                         # [12, E]
+    dh_row = dot(w1hr_ref[:].T, du)                      # [C, E]
+    dh_col = dot(w1hc_ref[:].T, du)
+    dgeo = dot(w1g_ref[:].T, du)                         # [12, E]
 
     dradial = _row(dgeo, 0)
     ddist = _row(dgeo, 1)
@@ -237,12 +240,13 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
-                                              "window"))
+                                              "window", "accurate"))
 def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
                          dagg_m: Array, dagg_x: Array,
                          tile_t: int = 128, chunk: int = 512,
                          interpret: bool = False,
-                         window: int | None = None):
+                         window: int | None = None,
+                         accurate: bool = False):
     """Edge-program backward. h [B,C,N], x [B,3,N] are the LAYER INPUTS;
     dagg_m [B,C,N], dagg_x [B,3,N] are cotangents of the aggregated messages /
     coordinate updates. Returns (dh, dx, EGCLParams gradients) where dh/dx are
@@ -263,7 +267,7 @@ def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 
     p = params
     kernel = functools.partial(_egcl_bwd_kernel, T=T, E=E, K=k, N=n, C=c_dim,
-                               window=window)
+                               window=window, accurate=accurate)
     full = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = [full((bsz, c_dim, n)), full((bsz, 3, n))] + \
         [full(q.shape) for q in (p.w1_hrow, p.w1_hcol, p.w1_geo, p.b1, p.w2,
@@ -317,44 +321,49 @@ def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 # Differentiable fused layer: Pallas forward + Pallas backward
 # ---------------------------------------------------------------------------
 
-def _node_forward(h, agg_m, params: EGCLParams):
+def _node_forward(h, agg_m, params: EGCLParams, accurate: bool = False):
     """Node-path MLP in transposed layout (runs in XLA inside the VJP —
     per-node dense ops, no gathers)."""
+    prec = (jax.lax.Precision.HIGHEST if accurate
+            else jax.lax.Precision.DEFAULT)
     hcat = jnp.concatenate([h, agg_m], axis=1)               # [B, 2C, N]
-    out = jnp.einsum("co,boN->bcN", params.wn0, hcat) + params.bn0
+    out = jnp.einsum("co,boN->bcN", params.wn0, hcat, precision=prec) + params.bn0
     out = _silu(out)
-    out = jnp.einsum("co,boN->bcN", params.wn1, out) + params.bn1
+    out = jnp.einsum("co,boN->bcN", params.wn1, out, precision=prec) + params.bn1
     return h + out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def egcl_fused_diff(h, x, nbr_idx, params: EGCLParams,
                     tile_t: int = 128, chunk: int = 512,
                     interpret: bool = False,
-                    window: int | None = None):
+                    window: int | None = None,
+                    accurate: bool = False):
     """Differentiable fused EGCL layer (transposed layout h [B,C,N], x [B,3,N]).
 
     Forward = the Pallas forward kernel; backward = the hand-written Pallas
-    edge-program backward + XLA node-path autodiff. fast (1-pass) precision.
-    `window` enables the curve-window gather/scatter in BOTH kernels (the
-    graph must come from ops/morton.knn_graph_window).
+    edge-program backward + XLA node-path autodiff. `accurate` selects 3-pass
+    ~fp32 matmuls in BOTH directions (vs 1-pass bf16 fast mode). `window`
+    enables the curve-window gather/scatter in BOTH kernels (the graph must
+    come from ops/morton.knn_graph_window).
     """
     from .egcl_kernel import egcl_layer_pallas
     h_out, x_out, _ = egcl_layer_pallas(
         h, x, nbr_idx, params, tile_t=tile_t, chunk=chunk,
-        interpret=interpret, accurate=False, emit_aggm=True, window=window)
+        interpret=interpret, accurate=accurate, emit_aggm=True, window=window)
     return h_out, x_out
 
 
-def _fused_fwd(h, x, nbr_idx, params, tile_t, chunk, interpret, window):
+def _fused_fwd(h, x, nbr_idx, params, tile_t, chunk, interpret, window,
+               accurate):
     from .egcl_kernel import egcl_layer_pallas
     h_out, x_out, agg_m = egcl_layer_pallas(
         h, x, nbr_idx, params, tile_t=tile_t, chunk=chunk,
-        interpret=interpret, accurate=False, emit_aggm=True, window=window)
+        interpret=interpret, accurate=accurate, emit_aggm=True, window=window)
     return (h_out, x_out), (h, x, nbr_idx, params, agg_m)
 
 
-def _fused_bwd(tile_t, chunk, interpret, window, res, cot):
+def _fused_bwd(tile_t, chunk, interpret, window, accurate, res, cot):
     h, x, nbr_idx, params, agg_m = res
     dh_out, dx_out = cot
 
@@ -363,7 +372,7 @@ def _fused_bwd(tile_t, chunk, interpret, window, res, cot):
 
     def node_fn(h_, agg_m_, np_):
         p = params._replace(wn0=np_[0], bn0=np_[1], wn1=np_[2], bn1=np_[3])
-        return _node_forward(h_, agg_m_, p)
+        return _node_forward(h_, agg_m_, p, accurate=accurate)
 
     _, node_vjp = jax.vjp(node_fn, h, agg_m, node_params)
     dh_node, dagg_m, dnode_params = node_vjp(dh_out)
@@ -375,8 +384,8 @@ def _fused_bwd(tile_t, chunk, interpret, window, res, cot):
     # cap its edge chunk independently so full-tile forward chunks don't OOM
     dh_edge, dx_edge, dparams = egcl_backward_pallas(
         h, x, nbr_idx, params, dagg_m, dagg_x,
-        tile_t=tile_t, chunk=min(chunk, 512), interpret=interpret,
-        window=window)
+        tile_t=tile_t, chunk=min(chunk, 256 if accurate else 512),
+        interpret=interpret, window=window, accurate=accurate)
 
     dh = dh_node + dh_edge
     dx = dx_out + dx_edge

@@ -391,18 +391,13 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
     n_layers = sum(1 for kk in tree if kk.startswith("gcl_"))
     for li in range(n_layers):
         params = params_from_tree(tree[f"gcl_{li}"])
-        if accurate:
-            ht, xt = egcl_layer_pallas(ht, xt, nbr_idx, params,
-                                       tile_t=tile_t, chunk=chunk,
-                                       interpret=interpret, accurate=True,
-                                       table_chunk=table_chunk, window=window)
-        else:
-            # fast mode routes through the custom-VJP layer: identical
-            # forward kernel, hand-written Pallas backward — the whole EGNN
-            # is differentiable end-to-end (egcl_backward.py)
-            from .egcl_backward import egcl_fused_diff
-            ht, xt = egcl_fused_diff(ht, xt, nbr_idx, params,
-                                     tile_t, chunk, interpret, window)
+        # every layer routes through the custom-VJP wrapper: identical
+        # forward kernel, hand-written Pallas backward at the SAME precision
+        # mode — the whole EGNN is differentiable end-to-end in both fast
+        # (1-pass bf16) and accurate (3-pass ~fp32) modes (egcl_backward.py)
+        from .egcl_backward import egcl_fused_diff
+        ht, xt = egcl_fused_diff(ht, xt, nbr_idx, params,
+                                 tile_t, chunk, interpret, window, accurate)
 
     h = jnp.swapaxes(ht, -1, -2)
     h = jnp.matmul(h, emb_out["kernel"], precision=prec) + emb_out["bias"]

@@ -220,14 +220,10 @@ def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
     """Returns jitted (state, batch) -> (state, metrics dict).
 
     The fused Pallas layers train end-to-end via the hand-written backward
-    kernel (ops/pallas/egcl_backward.py) in fast (egnn_accurate=False) mode;
-    the accurate (3-pass fp32) forward has no matching backward, so that
-    combination falls back to the XLA twin (identical parameter tree).
+    kernel (ops/pallas/egcl_backward.py) in BOTH precision modes — the
+    backward runs at the same precision (1-pass bf16 fast / 3-pass ~fp32
+    accurate) as its forward.
     """
-    if model.egnn_impl == "pallas" and model.egnn_accurate:
-        model = model.clone(egnn_impl="xla")
-        if cfg.egnn_impl == "pallas":
-            cfg = dataclasses.replace(cfg, egnn_impl="xla")
 
     def loss_fn(params, batch):
         out = _apply_with_graphs(model, cfg, params, batch)
