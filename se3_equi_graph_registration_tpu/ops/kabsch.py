@@ -127,6 +127,37 @@ def kabsch_weighted(src: Array, tgt: Array, weights: Array,
     return R.astype(in_dtype), t.astype(in_dtype)
 
 
+def pose_covariance(src: Array, tgt: Array, R: Array, t: Array,
+                    weights: Array, eps: float = 1e-9) -> Array:
+    """Gauss-Newton / Laplace covariance of the weighted-Kabsch pose.
+
+    Returns [..., 6, 6] over the tangent perturbation [δω, δt] (left rotation
+    increment, translation): Cov ≈ (σ̂² / N_eff) · (Σᵢ ŵᵢ JᵢᵀJᵢ)⁻¹ with
+    Jᵢ = [−[R sᵢ]ₓ | I], σ̂² the weighted per-axis residual variance, ŵ the
+    normalized weights, and N_eff = 1/Σŵ² the Kish effective sample size.
+    A serving-grade confidence signal, not a calibrated posterior.
+    """
+    w = weights.astype(jnp.float32)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
+    n_eff = 1.0 / (jnp.sum(w * w, axis=-1) + 1e-12)               # [...]
+
+    rs = jnp.einsum("...ij,...nj->...ni", R, src.astype(jnp.float32))
+    r = rs + t[..., None, :] - tgt.astype(jnp.float32)            # residuals
+    sigma2 = jnp.sum(w * jnp.sum(r * r, axis=-1), axis=-1) / 3.0
+
+    zeros = jnp.zeros_like(rs[..., 0])
+    ax = jnp.stack([
+        jnp.stack([zeros, -rs[..., 2], rs[..., 1]], -1),
+        jnp.stack([rs[..., 2], zeros, -rs[..., 0]], -1),
+        jnp.stack([-rs[..., 1], rs[..., 0], zeros], -1),
+    ], -2)                                                        # [...,N,3,3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=ax.dtype), ax.shape)
+    J = jnp.concatenate([-ax, eye], axis=-1)                      # [...,N,3,6]
+    M = jnp.einsum("...n,...nij,...nik->...jk", w, J, J)
+    M = M + eps * jnp.eye(6, dtype=M.dtype)
+    return (sigma2 / n_eff)[..., None, None] * jnp.linalg.inv(M)
+
+
 def kabsch_from_features(src_pts: Array, tgt_pts: Array,
                          src_feat: Array, tgt_feat: Array,
                          valid_mask: Array) -> tuple[Array, Array]:

@@ -9,16 +9,26 @@ The reference has no inference API at all — eval is a 1.4k-line script. Here:
 - pads/samples to the compiled shape so ONE compiled program serves any input
   size (XLA static shapes without per-request recompiles);
 - `fast=True` (default) uses the fused-Pallas / approx-selection / quaternion
-  pipeline benchmarked in bench.py; `fast=False` is the checkpoint-parity path.
+  pipeline benchmarked in bench.py; `fast=False` is the checkpoint-parity path;
+- `clique_prefilter=True` prunes outlier correspondences with the native
+  exact max-clique over the rigid-consistency graph (native/max_clique.py,
+  the reference's libpmc capability) before the model runs;
+- `info` carries a 6x6 Gauss-Newton pose covariance (ops/kabsch.py);
+- `BatchingServer` micro-batches concurrent register() calls from many
+  client threads into single device dispatches.
 """
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import Future
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.kabsch import pose_covariance
 from .train import engine
 from .train.checkpoints import convert_reference_checkpoint
 
@@ -73,15 +83,38 @@ class Registrar:
                                   rng.choice(cur, n - cur, replace=True)])
         return arr[idx], idx
 
+    def _clique_labels(self, src_pts, tgt_pts, tau: float) -> np.ndarray:
+        """Exact max-clique inlier mask over the rigid-consistency graph
+        (the reference's libpmc pruning step, native/max_clique.py)."""
+        from .native.max_clique import consistency_graph, max_clique
+        ei, ej = consistency_graph(src_pts, tgt_pts, tau=tau)
+        lbl = np.zeros(len(src_pts), np.float32)
+        if len(ei):
+            lbl[max_clique(ei, ej, len(src_pts))] = 1.0
+        if lbl.sum() < 3:   # degenerate clique: fall back to all-inlier
+            lbl[:] = 1.0
+        return lbl
+
     def register(self, src_pts, src_feat, tgt_pts, tgt_feat,
-                 labels: Optional[np.ndarray] = None, seed: int = 0):
-        """Returns (R [B,3,3], t [B,3], info dict). Unbatched inputs accepted."""
-        squeeze = np.asarray(src_pts).ndim == 2
+                 labels: Optional[np.ndarray] = None, seed: int = 0,
+                 clique_prefilter: bool = False, clique_tau: float = 0.10):
+        """Returns (R [B,3,3], t [B,3], info dict). Unbatched inputs accepted.
+
+        info: similarity_mean, pose_covariance [B,6,6] over [δω, δt], and
+        (with clique_prefilter) the clique inlier counts.
+        """
+        squeeze = (not isinstance(src_pts, (list, tuple))
+                   and np.asarray(src_pts).ndim == 2)
         if squeeze:
             src_pts, src_feat = src_pts[None], src_feat[None]
             tgt_pts, tgt_feat = tgt_pts[None], tgt_feat[None]
             if labels is not None:
                 labels = labels[None]
+        if clique_prefilter:
+            labels = [self._clique_labels(np.asarray(src_pts[i], np.float32),
+                                          np.asarray(tgt_pts[i], np.float32),
+                                          clique_tau)
+                      for i in range(len(src_pts))]
 
         n = self.cfg.num_nodes
         rng = np.random.default_rng(seed)
@@ -110,7 +143,76 @@ class Registrar:
         }
         out = self._apply(self.params, batch)
         R, t = np.asarray(out.R), np.asarray(out.t)
-        info = {"similarity_mean": float(jnp.mean(out.similarity))}
+        cov = pose_covariance(batch["src_pts"], batch["tgt_pts"],
+                              out.R, out.t, out.weights)
+        info = {"similarity_mean": float(jnp.mean(out.similarity)),
+                "pose_covariance": np.asarray(cov)}
+        if clique_prefilter:
+            info["clique_inliers"] = [int(l.sum()) for l in out_lbl]
         if squeeze:
+            info["pose_covariance"] = info["pose_covariance"][0]
             return R[0], t[0], info
         return R, t, info
+
+
+class BatchingServer:
+    """Micro-batching front end: concurrent register() calls from many client
+    threads coalesce into single padded device dispatches.
+
+    submit() returns a concurrent.futures.Future resolving to (R, t, info).
+    Requests queue until `max_batch` pairs accumulate or `max_wait_ms`
+    elapses since the first queued request, then run as ONE Registrar call —
+    the standard online-serving pattern the reference (a research script
+    pinned at batch 1) cannot express.
+    """
+
+    def __init__(self, registrar: Registrar, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        self.reg = registrar
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def submit(self, src_pts, src_feat, tgt_pts, tgt_feat, **kw) -> Future:
+        fut: Future = Future()
+        self._q.put((fut, (src_pts, src_feat, tgt_pts, tgt_feat), kw))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _serve(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = threading.Event()
+            import time as _time
+            t0 = _time.monotonic()
+            while (len(pending) < self.max_batch
+                   and _time.monotonic() - t0 < self.max_wait):
+                try:
+                    pending.append(self._q.get(timeout=self.max_wait / 4))
+                except queue.Empty:
+                    pass
+            del deadline
+            futs = [p[0] for p in pending]
+            try:
+                stack = lambda i: [np.asarray(p[1][i]) for p in pending]
+                R, t, info = self.reg.register(
+                    stack(0), stack(1), stack(2), stack(3), **pending[0][2])
+                for j, fut in enumerate(futs):
+                    cov = info["pose_covariance"][j]
+                    fut.set_result((R[j], t[j],
+                                    {"similarity_mean": info["similarity_mean"],
+                                     "pose_covariance": cov}))
+            except BaseException as e:
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)

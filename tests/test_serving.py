@@ -84,3 +84,106 @@ def test_guard_fit_emergency_checkpoint(tmp_path):
     rstate, step = restored
     assert step == 7
     assert jnp.array_equal(rstate.params["w"], state.params["w"])
+
+
+def test_pose_covariance_shrinks_with_noise(rng):
+    """Covariance must be PSD, and grow with residual noise."""
+    import jax.numpy as jnp
+
+    from scipy.spatial.transform import Rotation
+
+    from se3_equi_graph_registration_tpu.ops.kabsch import (kabsch_weighted,
+                                                            pose_covariance)
+
+    n = 256
+    src = rng.standard_normal((1, n, 3)).astype(np.float32)
+    R_gt = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix().astype(np.float32)
+    covs = []
+    for noise in (0.001, 0.05):
+        tgt = src @ R_gt.T + noise * rng.standard_normal((1, n, 3)).astype(np.float32)
+        w = jnp.ones((1, n)) / n
+        R, t = kabsch_weighted(jnp.asarray(src), jnp.asarray(tgt), w)
+        cov = np.asarray(pose_covariance(jnp.asarray(src), jnp.asarray(tgt),
+                                         R, t, w))[0]
+        evals = np.linalg.eigvalsh(cov)
+        assert np.all(evals > -1e-12), evals      # PSD
+        covs.append(np.trace(cov))
+    assert covs[1] > covs[0] * 10                 # more noise, more variance
+
+
+def test_registrar_clique_prefilter(rng):
+    """Max-clique pruning should reject gross outlier correspondences."""
+    from scipy.spatial.transform import Rotation
+
+    from se3_equi_graph_registration_tpu import serving
+    from se3_equi_graph_registration_tpu.train import engine
+
+    n, c = 256, 16
+    cfg = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=c, hidden_nf=32,
+                              top_k=64)
+    model = engine.build_model(cfg)
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    R_gt = Rotation.from_euler("xyz", [0.4, 0.1, -0.3]).as_matrix().astype(np.float32)
+    t_gt = np.asarray([0.2, -0.1, 0.3], np.float32)
+    tgt = src @ R_gt.T + t_gt
+    # corrupt 40% of correspondences
+    n_bad = int(0.4 * n)
+    tgt[:n_bad] = rng.standard_normal((n_bad, 3)).astype(np.float32) * 2.0
+    feat = rng.standard_normal((n, c)).astype(np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), feat[None], src[None],
+        np.zeros((1, n, 8), np.int32), feat[None], tgt[None],
+        np.zeros((1, n, 8), np.int32), np.ones((1, n), np.float32))
+    reg = serving.Registrar(params, cfg, head_mode="train")
+    lbl = reg._clique_labels(src, tgt, tau=0.05)
+    # the clique keeps (mostly) clean correspondences and drops outliers
+    assert lbl[n_bad:].sum() >= 0.8 * (n - n_bad)
+    assert lbl[:n_bad].sum() <= 0.1 * n_bad
+
+    R, t, info = reg.register(src, feat, tgt, feat, clique_prefilter=True,
+                              clique_tau=0.05)
+    assert info["pose_covariance"].shape == (6, 6)
+    assert info["clique_inliers"][0] >= 3
+    assert np.all(np.isfinite(R))
+
+    # the clique mask alone recovers the GT transform through a plain
+    # weighted Kabsch (the model's learned weighting needs trained features)
+    from se3_equi_graph_registration_tpu.ops.kabsch import kabsch_weighted
+    Rk, tk = kabsch_weighted(jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                             jnp.asarray(lbl)[None])
+    Rk = np.asarray(Rk[0])
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(R_gt.T @ Rk) - 1) / 2, -1, 1)))
+    assert rot_err < 2.0, rot_err
+    np.testing.assert_allclose(np.asarray(tk[0]), t_gt, atol=0.05)
+
+
+def test_batching_server_coalesces(rng):
+    """Concurrent submissions resolve with per-request results."""
+    from se3_equi_graph_registration_tpu import serving
+    from se3_equi_graph_registration_tpu.train import engine
+
+    n, c = 128, 16
+    cfg = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=c, hidden_nf=32,
+                              top_k=32)
+    model = engine.build_model(cfg)
+    feat = rng.standard_normal((n, c)).astype(np.float32)
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), feat[None], src[None],
+        np.zeros((1, n, 8), np.int32), feat[None], src[None],
+        np.zeros((1, n, 8), np.int32), np.ones((1, n), np.float32))
+    reg = serving.Registrar(params, cfg, head_mode="train")
+    server = serving.BatchingServer(reg, max_batch=4, max_wait_ms=50)
+    try:
+        futs = [server.submit(src, feat,
+                              src + rng.normal(0, 0.01, src.shape).astype(np.float32),
+                              feat)
+                for _ in range(6)]
+        for f in futs:
+            R, t, info = f.result(timeout=120)
+            assert R.shape == (3, 3) and t.shape == (3,)
+            assert info["pose_covariance"].shape == (6, 6)
+            assert np.all(np.isfinite(R))
+    finally:
+        server.close()
