@@ -162,7 +162,10 @@ def knn_graph_window(x_sorted: Array, k: int, tile: int = 128,
     q = x_sorted.reshape(n // tile, tile, 3)
 
     def tile_knn(s, q_tile):
-        cand = jax.lax.dynamic_slice(x_sorted, (s, 0), (window, 3))
+        # both start indices must share a dtype (under x64 a literal 0
+        # weak-promotes to int64 and lax.dynamic_slice rejects the mix)
+        cand = jax.lax.dynamic_slice(x_sorted, (s, jnp.zeros((), s.dtype)),
+                                     (window, 3))
         d2 = pairwise_sq_dists(q_tile, cand)                 # [T, W]
         _, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32) + s

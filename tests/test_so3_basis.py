@@ -6,10 +6,18 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
-
 from se3_equi_graph_registration_tpu.core.so3_basis import (  # noqa: E402
     basis, spherical_harmonics as sh, wigner)
+
+
+@pytest.fixture(autouse=True)
+def _x64():
+    """These identities need float64, but flipping x64 at MODULE level (as
+    round 1 did) leaks into every other test via pytest's collection-time
+    import — toggle it per-test instead."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def test_sh_l0_l1_closed_forms(rng):
