@@ -113,6 +113,12 @@ class RegistrationModel(nn.Module):
     # column reduces to pred[0] — every slot is fused with the FIRST top-k
     # score (see tests/torch_oracle.py eval_head_forward for the derivation).
     fusion_literal: bool = False
+    # Kabsch weight scores: 'dot' = raw feature dot products (reference
+    # :717-718 — saturates the softmax to one-hot whenever post-EGNN feature
+    # norms grow, freezing R at identity through degenerate H; measurable at
+    # INIT already, h std ~6 per layer) | 'cosine' = normalized similarity,
+    # bounded [-1, 1], trains robustly. Default keeps reference parity.
+    weight_mode: str = "dot"
 
     def setup(self):
         self.egnn = EGNN(
@@ -194,7 +200,14 @@ class RegistrationModel(nn.Module):
         scores = self.score_mlp(jnp.concatenate([comp_h_src, comp_h_tgt], axis=-1))
 
         # Weighted Kabsch over label-valid correspondences, post-EGNN geometry.
-        weight_scores = jnp.sum(h_src * h_tgt, axis=-1)
+        if self.weight_mode == "cosine":
+            ns = jnp.linalg.norm(h_src, axis=-1, keepdims=True) + 1e-6
+            nt = jnp.linalg.norm(h_tgt, axis=-1, keepdims=True) + 1e-6
+            weight_scores = jnp.sum((h_src / ns) * (h_tgt / nt), axis=-1)
+        elif self.weight_mode == "dot":
+            weight_scores = jnp.sum(h_src * h_tgt, axis=-1)
+        else:
+            raise ValueError(f"unknown weight_mode {self.weight_mode!r}")
         weights = masked_softmax(weight_scores, labels)
         R, t = kabsch_weighted(x_src, x_tgt, weights, solver=self.kabsch_solver)
 

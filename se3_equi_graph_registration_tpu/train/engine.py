@@ -85,6 +85,9 @@ class EngineConfig:
     kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
     topk_method: str = "exact"      # head top-k: 'exact' | 'approx'
     egnn_accurate: bool = True      # pallas matmul precision (fp32 vs bf16)
+    weight_mode: str = "dot"        # Kabsch weight scores: 'dot' (reference
+                                    # parity; softmax can saturate) | 'cosine'
+                                    # (bounded — robust training)
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
 
@@ -96,7 +99,8 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         top_k=cfg.top_k, direction=cfg.direction, so3_mode=cfg.so3_mode,
         head_mode=head_mode, egnn_impl=cfg.egnn_impl,
         kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method,
-        egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet)
+        egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet,
+        weight_mode=cfg.weight_mode)
 
 
 def lr_schedule(cfg: EngineConfig,

@@ -109,3 +109,36 @@ def test_training_step_reduces_loss(rng):
         if first is None:
             first = float(l)
     assert float(l) < first
+
+
+def test_cosine_weight_mode_avoids_softmax_saturation(rng):
+    """weight_mode='cosine' bounds the Kabsch weight scores so the softmax
+    cannot saturate to one-hot (which freezes R at identity through
+    degenerate H — the reference's raw-dot formula does this whenever
+    post-EGNN feature norms grow, measurably at init already)."""
+    b, n, k, c = 2, 256, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+
+    weights = {}
+    for mode in ("dot", "cosine"):
+        model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32,
+                                  top_k=64, weight_mode=mode)
+        params = model.init(jax.random.PRNGKey(0), *args)
+        out = model.apply(params, *args)
+        weights[mode] = np.asarray(out.weights)
+        assert np.all(np.isfinite(np.asarray(out.R)))
+    # raw dots saturate at init; cosine stays spread over the inliers
+    assert weights["dot"].max() > 0.5
+    assert weights["cosine"].max() < 0.1
+    # cosine solves the (noisy-inlier) synthetic pose at init already
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32,
+                              top_k=64, weight_mode="cosine")
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    gt_R = np.asarray(batch.gt_pose)[:, :3, :3]
+    for bb in range(b):
+        tr = np.clip((np.trace(gt_R[bb].T @ np.asarray(out.R[bb])) - 1) / 2, -1, 1)
+        assert np.degrees(np.arccos(tr)) < 10.0
