@@ -221,6 +221,12 @@ class RegistrationModel(nn.Module):
         """Top-k selection; 'approx' uses the TPU-native approx_max_k (the
         exact lax.top_k costs ~10ms at [16, 2048] — the selection SET barely
         differs and ordering is irrelevant to the BCE/fusion heads)."""
+        if self.top_k == scores.shape[-1]:
+            # k == N selects everything (the KITTI head config, reference
+            # kitti driver :663) — skip the sort; downstream consumers are
+            # permutation-invariant (BCE mean, fusion scatter by index)
+            return jnp.broadcast_to(
+                jnp.arange(self.top_k, dtype=jnp.int32), scores.shape)
         if self.topk_method == "approx":
             _, idx = jax.lax.approx_max_k(scores, self.top_k)
         else:

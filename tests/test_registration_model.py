@@ -142,3 +142,23 @@ def test_cosine_weight_mode_avoids_softmax_saturation(rng):
     for bb in range(b):
         tr = np.clip((np.trace(gt_R[bb].T @ np.asarray(out.R[bb])) - 1) / 2, -1, 1)
         assert np.degrees(np.arccos(tr)) < 10.0
+
+
+def test_top_k_equals_n_shortcut(rng):
+    """KITTI head config (top_k = num_nodes, kitti driver :663): selection
+    must cover every index exactly once and skip the sort."""
+    b, n, k, c = 2, 128, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32, top_k=n)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    assert out.scores.shape == (b, n)
+    for bb in range(b):
+        np.testing.assert_array_equal(np.sort(np.asarray(out.top_indices[bb])),
+                                      np.arange(n))
+    # scores at identity order equal a full-sort gather re-sorted back
+    np.testing.assert_array_equal(np.asarray(out.top_labels),
+                                  np.asarray(batch.labels))
