@@ -62,8 +62,7 @@ class PairLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.process_shard is not None:
-            idx, cnt = self.process_shard
-            n = len(range(idx, n, cnt))
+            n = n // self.process_shard[1]   # global-min slice (see below)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self):
@@ -72,7 +71,10 @@ class PairLoader:
             self._rng.shuffle(order)
         if self.process_shard is not None:
             idx, cnt = self.process_shard
-            order = order[idx::cnt]
+            # truncate every process's interleaved slice to the GLOBAL
+            # minimum length — otherwise some processes run one extra step
+            # and the collective batch assembly deadlocks the pod
+            order = order[idx::cnt][: len(self.dataset) // cnt]
         stop = (len(order) // self.batch_size * self.batch_size
                 if self.drop_last else len(order))
         for i in range(0, stop, self.batch_size):

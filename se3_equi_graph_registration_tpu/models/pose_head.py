@@ -221,10 +221,13 @@ class RegistrationModel(nn.Module):
         """Top-k selection; 'approx' uses the TPU-native approx_max_k (the
         exact lax.top_k costs ~10ms at [16, 2048] — the selection SET barely
         differs and ordering is irrelevant to the BCE/fusion heads)."""
-        if self.top_k == scores.shape[-1]:
+        if (self.top_k == scores.shape[-1]
+                and not (self.head_mode == "eval_fusion" and self.fusion_literal)):
             # k == N selects everything (the KITTI head config, reference
             # kitti driver :663) — skip the sort; downstream consumers are
-            # permutation-invariant (BCE mean, fusion scatter by index)
+            # permutation-invariant (BCE mean, fusion scatter by index).
+            # EXCEPT literal fusion: it replays slot 0's score everywhere,
+            # and slot 0 must be the argmax like the reference's torch.topk.
             return jnp.broadcast_to(
                 jnp.arange(self.top_k, dtype=jnp.int32), scores.shape)
         if self.topk_method == "approx":

@@ -41,6 +41,7 @@ def _expand_bits_10(v: Array) -> Array:
 
 def _quantize(x: Array, bits: int) -> Array:
     """Min-max normalize per cloud and quantize to `bits` per axis (int32)."""
+    assert 1 <= bits <= 10, f"bit-spread masks support <=10 bits, got {bits}"
     lo = jnp.min(x, axis=-2, keepdims=True)
     hi = jnp.max(x, axis=-2, keepdims=True)
     scale = (2 ** bits - 1) / jnp.maximum(hi - lo, 1e-12)

@@ -348,9 +348,12 @@ def egcl_fused_diff(h, x, nbr_idx, params: EGCLParams,
     come from ops/morton.knn_graph_window).
     """
     from .egcl_kernel import egcl_layer_pallas
-    h_out, x_out, _ = egcl_layer_pallas(
+    # primal (inference) path: agg_m is only needed by the VJP forward
+    # (_fused_fwd) — emitting it here would write a dead [B,C,N] buffer
+    # to HBM per layer on every no-grad call
+    h_out, x_out = egcl_layer_pallas(
         h, x, nbr_idx, params, tile_t=tile_t, chunk=chunk,
-        interpret=interpret, accurate=accurate, emit_aggm=True, window=window)
+        interpret=interpret, accurate=accurate, emit_aggm=False, window=window)
     return h_out, x_out
 
 

@@ -44,14 +44,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    already = jax.process_count() > 1
-    if already:
-        return True
     if coordinator_address is None and num_processes in (None, 1):
-        return False  # single-process run: nothing to initialize
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+        # No explicit multi-process config. Only NOW may we touch the
+        # backend (jax.process_count() initializes it, after which
+        # jax.distributed.initialize would refuse to run).
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized (repeat call) — report the live state
     return jax.process_count() > 1
 
 

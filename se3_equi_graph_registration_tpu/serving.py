@@ -39,8 +39,16 @@ class Registrar:
         self.cfg = cfg
         self.params = params
         self.model = engine.build_model(cfg, head_mode=head_mode)
-        self._apply = jax.jit(
-            lambda p, b: engine._apply_with_graphs(self.model, cfg, p, b))
+
+        def _fwd(p, b):
+            out = engine._apply_with_graphs(self.model, cfg, p, b)
+            # covariance inside the SAME jitted program — eagerly it costs
+            # a dozen per-op dispatches on the serving hot path
+            cov = pose_covariance(b["src_pts"], b["tgt_pts"], out.R, out.t,
+                                  out.weights)
+            return out, cov
+
+        self._apply = jax.jit(_fwd)
 
     @classmethod
     def from_checkpoint(cls, path: str, fast: bool = True,
@@ -141,10 +149,8 @@ class Registrar:
             "tgt_feat": jnp.asarray(np.stack(out_t_feat)),
             "labels": jnp.asarray(np.stack(out_lbl)),
         }
-        out = self._apply(self.params, batch)
+        out, cov = self._apply(self.params, batch)
         R, t = np.asarray(out.R), np.asarray(out.t)
-        cov = pose_covariance(batch["src_pts"], batch["tgt_pts"],
-                              out.R, out.t, out.weights)
         info = {"similarity_mean": float(jnp.mean(out.similarity)),
                 "pose_covariance": np.asarray(cov)}
         if clique_prefilter:
@@ -186,32 +192,44 @@ class BatchingServer:
         self._thread.join(timeout=5)
 
     def _serve(self):
+        import time as _time
+
+        carry = None  # a dequeued request that didn't match the batch's kwargs
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             pending = [first]
-            deadline = threading.Event()
-            import time as _time
+            # only kwarg-free requests coalesce — options like
+            # clique_prefilter/labels/seed must not leak between clients;
+            # requests carrying kwargs run as their own dispatch
             t0 = _time.monotonic()
-            while (len(pending) < self.max_batch
+            while (len(pending) < self.max_batch and not first[2]
                    and _time.monotonic() - t0 < self.max_wait):
                 try:
-                    pending.append(self._q.get(timeout=self.max_wait / 4))
+                    nxt = self._q.get(timeout=self.max_wait / 4)
                 except queue.Empty:
-                    pass
-            del deadline
+                    continue
+                if not nxt[2]:
+                    pending.append(nxt)
+                else:
+                    carry = nxt
+                    break
             futs = [p[0] for p in pending]
             try:
                 stack = lambda i: [np.asarray(p[1][i]) for p in pending]
                 R, t, info = self.reg.register(
-                    stack(0), stack(1), stack(2), stack(3), **pending[0][2])
+                    stack(0), stack(1), stack(2), stack(3), **first[2])
                 for j, fut in enumerate(futs):
-                    cov = info["pose_covariance"][j]
-                    fut.set_result((R[j], t[j],
-                                    {"similarity_mean": info["similarity_mean"],
-                                     "pose_covariance": cov}))
+                    per = {"similarity_mean": info["similarity_mean"],
+                           "pose_covariance": info["pose_covariance"][j]}
+                    if "clique_inliers" in info:
+                        per["clique_inliers"] = info["clique_inliers"][j]
+                    fut.set_result((R[j], t[j], per))
             except BaseException as e:
                 for fut in futs:
                     if not fut.done():

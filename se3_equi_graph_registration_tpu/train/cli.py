@@ -53,8 +53,10 @@ def _synthetic_batches(cfg: ExperimentConfig, n_batches: int = 4) -> Iterable:
                pb.tgt_feat, pb.gt_pose)
 
 
-def _loader(cfg: ExperimentConfig, split: str, shuffle: bool):
-    ds = _build_dataset(cfg, split)
+def _loader(cfg: ExperimentConfig, split: str, shuffle: bool, dataset=None):
+    """dataset: pass a pre-built dataset to avoid constructing it twice
+    (None still means 'build it here'; synthetic presets have no dataset)."""
+    ds = dataset if dataset is not None else _build_dataset(cfg, split)
     if ds is None:
         return lambda: _synthetic_batches(cfg)
     # multi-host: each process loads its interleaved slice of the global
@@ -95,20 +97,17 @@ def _load_params(path: str, cfg: ExperimentConfig, model, template_state):
     return restored[0].params
 
 
-def _steps_per_epoch(cfg: ExperimentConfig) -> int:
-    """Micro-batches per epoch for epoch-unit LR boundaries (engine.lr_schedule)."""
-    ds = _build_dataset(cfg, "train")
-    if ds is None:
-        return 4  # _synthetic_batches yields 4 batches per epoch
-    return max(1, len(ds) // cfg.data.batch_size)
-
-
 def cmd_train(cfg: ExperimentConfig, args) -> None:
     ecfg = cfg.engine
     model = engine.build_model(ecfg)
-    opt = engine.build_optimizer(ecfg, steps_per_epoch=_steps_per_epoch(cfg))
+    # micro-batches per epoch for epoch-unit LR boundaries (engine.lr_schedule);
+    # 4 = _synthetic_batches' per-epoch count. Dataset built ONCE, reused below.
+    train_ds = _build_dataset(cfg, "train")
+    steps_per_epoch = (4 if train_ds is None
+                       else max(1, len(train_ds) // cfg.data.batch_size))
+    opt = engine.build_optimizer(ecfg, steps_per_epoch=steps_per_epoch)
 
-    train_batches = _loader(cfg, "train", shuffle=True)
+    train_batches = _loader(cfg, "train", shuffle=True, dataset=train_ds)
     val_batches = _loader(cfg, "val", shuffle=False) \
         if cfg.data.dataset != "synthetic" else None
 

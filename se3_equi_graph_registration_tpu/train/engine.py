@@ -147,6 +147,9 @@ def _apply_morton_fast(model, cfg, params, batch):
     from ..ops import morton
     from ..ops.pallas.egcl_kernel import egnn_forward_pallas
 
+    assert not model.use_pointnet, \
+        "the morton fast path bypasses the PointNet encoder stage; use " \
+        "knn_method='exact'/'approx'/'pallas' with use_pointnet"
     interp = jax.default_backend() != "tpu"
     egnn_vars = {"params": params["params"]["egnn"]}
 
@@ -167,11 +170,12 @@ def _apply_morton_fast(model, cfg, params, batch):
             nbr = jax.vmap(lambda xx: morton.knn_graph_window(
                 xx, cfg.k, tile=cfg.egnn_tile, window=cfg.egnn_window))(xs)
         if cfg.egnn_impl == "pallas":
-            h2, x2 = egnn_forward_pallas(egnn_vars, hs, xs, nbr,
-                                         tile_t=cfg.egnn_tile,
-                                         interpret=interp,
-                                         accurate=cfg.egnn_accurate,
-                                         window=cfg.egnn_window)
+            fwd = lambda hh, xx, nn: egnn_forward_pallas(
+                egnn_vars, hh, xx, nn, tile_t=cfg.egnn_tile, interpret=interp,
+                accurate=cfg.egnn_accurate, window=cfg.egnn_window)
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            h2, x2 = fwd(hs, xs, nbr)
         else:
             # XLA twin on the same window graph (e.g. the accurate-precision
             # train step, which has no Pallas backward — make_train_step
@@ -183,7 +187,10 @@ def _apply_morton_fast(model, cfg, params, batch):
                             edge_attr_dim=model.edge_attr_dim,
                             n_layers=model.n_layers, num_heads=model.num_heads,
                             direction="center", so3_mode=model.so3_mode)
-            h2, x2 = egnn_mod.apply(egnn_vars, hs, xs, nbr)
+            fwd = lambda hh, xx, nn: egnn_mod.apply(egnn_vars, hh, xx, nn)
+            if cfg.remat:
+                fwd = jax.checkpoint(fwd)
+            h2, x2 = fwd(hs, xs, nbr)
         return (morton.permute_rows(h2, inv, perm),
                 morton.permute_rows(x2, inv, perm))
 
