@@ -162,3 +162,44 @@ def test_top_k_equals_n_shortcut(rng):
     # scores at identity order equal a full-sort gather re-sorted back
     np.testing.assert_array_equal(np.asarray(out.top_labels),
                                   np.asarray(batch.labels))
+
+
+def test_full_model_rotation_equivariance(rng):
+    """SO(3) property at the MODEL level (the reference only tests layers):
+    rotating the target cloud by Q must transform the predicted pose as
+    R' = Q R, t' = Q t, with features/similarity invariant. Requires
+    so3_mode='invariant' — the reference's 'frame' mode feeds raw frame
+    axes (which rotate with the input) into the edge MLP, so its h-stream
+    is NOT rotation-invariant (documented in ops/edge_geometry.py); neither
+    mode is translation-invariant (position dot products about the origin,
+    reference :181)."""
+    from scipy.spatial.transform import Rotation
+
+    b, n, k, c = 2, 256, 8, 16
+    batch, nbr_src, nbr_tgt = _prep(rng, b, n, k, c)
+    model = RegistrationModel(num_nodes=n, in_node_nf=c, hidden_nf=32,
+                              top_k=64, weight_mode="cosine",
+                              so3_mode="invariant")
+    args = (jnp.asarray(batch.src_feat), jnp.asarray(batch.src_pts), nbr_src,
+            jnp.asarray(batch.tgt_feat), jnp.asarray(batch.tgt_pts), nbr_tgt,
+            jnp.asarray(batch.labels))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+
+    Q = jnp.asarray(Rotation.from_euler("xyz", [0.7, -0.3, 1.1]).as_matrix(),
+                    jnp.float32)
+    tgt_rot = jnp.einsum("ij,bnj->bni", Q, args[4])
+    # same graph: k-NN is invariant under rotation (distances preserved)
+    out2 = model.apply(params, args[0], args[1], args[2],
+                       args[3], tgt_rot, args[5], args[6])
+
+    # features and similarity are rotation-INVARIANT
+    np.testing.assert_allclose(np.asarray(out2.h_tgt), np.asarray(out.h_tgt),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out2.similarity),
+                               np.asarray(out.similarity), atol=5e-3, rtol=1e-3)
+    # the pose transforms EQUIVARIANTLY
+    R_expected = np.einsum("ij,bjk->bik", np.asarray(Q), np.asarray(out.R))
+    t_expected = np.einsum("ij,bj->bi", np.asarray(Q), np.asarray(out.t))
+    np.testing.assert_allclose(np.asarray(out2.R), R_expected, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out2.t), t_expected, atol=2e-3)
