@@ -152,27 +152,32 @@ def _apply_morton_fast(model, cfg, params, batch):
         "knn_method='exact'/'approx'/'pallas' with use_pointnet"
     interp = jax.default_backend() != "tpu"
     egnn_vars = {"params": params["params"]["egnn"]}
+    n = batch["src_pts"].shape[1]
+    # clamp the curve window to the cloud: at window >= n the path degrades
+    # gracefully to full-table gathers (small-N configs, e.g. serving at 256)
+    window = min(cfg.egnn_window, n)
+    tile = min(cfg.egnn_tile, n)
+    assert n % tile == 0 and window % tile == 0, (
+        f"morton path needs N divisible by the kernel tile: N={n}, "
+        f"tile={tile}, window={window}")
 
     def embed(h, x):
-        perm = morton.morton_perm(x, curve=cfg.curve)          # [B, N]
-        inv = jnp.argsort(perm, axis=-1)
-        # scatter-free-backward permutation (morton.permute_rows) — the
-        # generic gather transpose is a serial TPU scatter, ~100x slower
-        xs = morton.permute_rows(x, perm, inv)
-        hs = morton.permute_rows(h, perm, inv)
+        # one fused key-value sort replaces argsort + gathers (and the
+        # un-sort below is a sort keyed by perm) — both have scatter-free
+        # custom VJPs; the generic gather transpose is a serial TPU scatter
+        hs, xs, perm = morton.sort_by_curve(h, x, cfg.curve)
         if cfg.egnn_impl == "pallas" and not interp:
             # fused window-knn kernel (same neighbor sets/tie-breaks as the
             # XLA builder; tile must match the EGCL kernel's tile_t)
             from ..ops.pallas.knn_kernel import knn_pallas
-            nbr = knn_pallas(xs, cfg.k, tile_t=cfg.egnn_tile,
-                             window=cfg.egnn_window)
+            nbr = knn_pallas(xs, cfg.k, tile_t=tile, window=window)
         else:
             nbr = jax.vmap(lambda xx: morton.knn_graph_window(
-                xx, cfg.k, tile=cfg.egnn_tile, window=cfg.egnn_window))(xs)
+                xx, cfg.k, tile=tile, window=window))(xs)
         if cfg.egnn_impl == "pallas":
             fwd = lambda hh, xx, nn: egnn_forward_pallas(
-                egnn_vars, hh, xx, nn, tile_t=cfg.egnn_tile, interpret=interp,
-                accurate=cfg.egnn_accurate, window=cfg.egnn_window)
+                egnn_vars, hh, xx, nn, tile_t=tile, interpret=interp,
+                accurate=cfg.egnn_accurate, window=window)
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             h2, x2 = fwd(hs, xs, nbr)
@@ -191,8 +196,7 @@ def _apply_morton_fast(model, cfg, params, batch):
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             h2, x2 = fwd(hs, xs, nbr)
-        return (morton.permute_rows(h2, inv, perm),
-                morton.permute_rows(x2, inv, perm))
+        return morton.unsort_rows((h2, x2), perm)
 
     h_s, x_s = embed(batch["src_feat"], batch["src_pts"])
     h_t, x_t = embed(batch["tgt_feat"], batch["tgt_pts"])

@@ -203,3 +203,28 @@ def test_full_model_rotation_equivariance(rng):
     t_expected = np.einsum("ij,bj->bi", np.asarray(Q), np.asarray(out.t))
     np.testing.assert_allclose(np.asarray(out2.R), R_expected, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out2.t), t_expected, atol=2e-3)
+
+
+def test_morton_fast_path_small_n_window_clamp(rng):
+    """fast_tpu_config at N < default window (384): the engine clamps the
+    curve window to the cloud size instead of asserting (serving at small
+    compiled shapes). CPU runs the XLA window twin + interpret-mode kernels."""
+    from se3_equi_graph_registration_tpu.train import engine
+
+    b, n, c = 2, 256, 16
+    cfg = engine.fast_tpu_config(num_nodes=n, k=8, in_node_nf=c, hidden_nf=32,
+                                 top_k=64)
+    model = engine.build_model(cfg)
+    batch = make_pair_batch(rng, batch=b, n=n, feat_dim=c)
+    dev = engine.batch_to_device((batch.corr, batch.labels, batch.src_pts,
+                                  batch.tgt_pts, batch.src_feat,
+                                  batch.tgt_feat, batch.gt_pose))
+    nbr0 = jnp.zeros((b, n, cfg.k), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), dev["src_feat"],
+                        dev["src_pts"], nbr0, dev["tgt_feat"], dev["tgt_pts"],
+                        nbr0, dev["labels"])
+    out = jax.jit(lambda p, bt: engine._apply_with_graphs(model, cfg, p, bt))(
+        params, dev)
+    assert out.R.shape == (b, 3, 3)
+    assert np.all(np.isfinite(np.asarray(out.R)))
+    assert np.all(np.isfinite(np.asarray(out.t)))
