@@ -142,6 +142,77 @@ def _permute_rows_bwd(res, g):
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sort_by_curve(h: Array, x: Array, curve: str = "hilbert"):
+    """Sort (h [..., N, C], x [..., N, 3]) along the space-filling curve in
+    ONE multi-operand key-value sort → (hs, xs, perm).
+
+    Equivalent to `perm = morton_perm(x); take(h/x, perm)` (same stable-sort
+    tie-breaks, bit-identical outputs) but measurably cheaper on TPU: the
+    bitonic network moves the value columns alongside the key compare instead
+    of paying argsort + two gathers. Gradients treat the permutation as
+    locally constant (exactly like the argsort formulation — the codes are
+    quantized, so no gradient flows through the ordering) and lower to
+    scatter-free gathers by the inverse permutation."""
+    codes = curve_codes(x, curve=curve)
+    iota = jnp.broadcast_to(
+        jnp.arange(x.shape[-2], dtype=jnp.int32), codes.shape)
+    cols = ((codes,) + tuple(x[..., j] for j in range(x.shape[-1]))
+            + tuple(h[..., j] for j in range(h.shape[-1])) + (iota,))
+    out = jax.lax.sort(cols, dimension=-1, num_keys=1)
+    nx = x.shape[-1]
+    xs = jnp.stack(out[1:1 + nx], axis=-1)
+    hs = jnp.stack(out[1 + nx:-1], axis=-1)
+    return hs, xs, out[-1]
+
+
+def _sort_by_curve_fwd(h, x, curve):
+    hs, xs, perm = sort_by_curve(h, x, curve)
+    return (hs, xs, perm), perm
+
+
+def _sort_by_curve_bwd(curve, perm, g):
+    g_hs, g_xs, _ = g
+    inv = jnp.argsort(perm, axis=-1)
+    gh = jnp.take_along_axis(g_hs, inv[..., None], axis=-2)
+    gx = jnp.take_along_axis(g_xs, inv[..., None], axis=-2)
+    return gh, gx
+
+
+sort_by_curve.defvjp(_sort_by_curve_fwd, _sort_by_curve_bwd)
+
+
+@jax.custom_vjp
+def unsort_rows(arrs: tuple, perm: Array) -> tuple:
+    """Invert the row permutation on a tuple of [..., N, C_i] arrays in ONE
+    key-value sort keyed by perm: u[..., perm[i], :] = a[..., i, :].
+
+    Cheaper than `take(a, argsort(perm))` on TPU (no argsort pass; one sort
+    shares the key compares across all columns), and the VJP is a plain
+    gather by perm — scatter-free, like permute_rows."""
+    cols = tuple(a[..., j] for a in arrs for j in range(a.shape[-1]))
+    out = jax.lax.sort((perm,) + cols, dimension=-1, num_keys=1)
+    res, o = [], 1
+    for a in arrs:
+        res.append(jnp.stack(out[o:o + a.shape[-1]], axis=-1))
+        o += a.shape[-1]
+    return tuple(res)
+
+
+def _unsort_rows_fwd(arrs, perm):
+    return unsort_rows(arrs, perm), perm
+
+
+def _unsort_rows_bwd(perm, g):
+    import numpy as np
+
+    ga = tuple(jnp.take_along_axis(gi, perm[..., None], axis=-2) for gi in g)
+    return ga, np.zeros(perm.shape, dtype=jax.dtypes.float0)
+
+
+unsort_rows.defvjp(_unsort_rows_fwd, _unsort_rows_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile", "window"))
 def knn_graph_window(x_sorted: Array, k: int, tile: int = 128,
                      window: int = 384) -> Array:

@@ -169,3 +169,61 @@ def test_morton_batched_perm(rng):
     assert perm.shape == (3, 256)
     for b in range(3):
         assert sorted(perm[b].tolist()) == list(range(256))
+
+
+def test_sort_by_curve_matches_argsort_gather(rng):
+    """The fused key-value sort (morton.sort_by_curve) is bit-identical to
+    the argsort+gather formulation it replaces (stable sort, same ties)."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    b, n, c = 3, 256, 8
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    hs, xs, perm = morton.sort_by_curve(h, x, "hilbert")
+    want_perm = morton.morton_perm(x, curve="hilbert")
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(want_perm))
+    np.testing.assert_array_equal(
+        np.asarray(xs), np.take_along_axis(np.asarray(x),
+                                           np.asarray(perm)[..., None], 1))
+    np.testing.assert_array_equal(
+        np.asarray(hs), np.take_along_axis(np.asarray(h),
+                                           np.asarray(perm)[..., None], 1))
+
+    # unsort_rows inverts it exactly
+    h0, x0 = morton.unsort_rows((hs, xs), perm)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h))
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x))
+
+
+def test_sort_unsort_gradients_match_autodiff(rng):
+    """Custom VJPs of sort_by_curve/unsort_rows equal plain take_along_axis
+    autodiff (the permutation is locally constant in both formulations)."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    b, n, c = 2, 128, 4
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    perm = morton.morton_perm(x, curve="hilbert")
+
+    def f_new(h, x):
+        hs, xs, p = morton.sort_by_curve(h, x, "hilbert")
+        ho, xo = morton.unsort_rows((hs * 2.0, xs * 3.0), p)
+        return jnp.sum(ho * wh) + jnp.sum(xo * wx)
+
+    def f_ref(h, x):
+        p = perm  # same permutation, fixed (no grad through ordering)
+        hs = jnp.take_along_axis(h, p[..., None], axis=1)
+        xs = jnp.take_along_axis(x, p[..., None], axis=1)
+        inv = jnp.argsort(p, axis=-1)
+        ho = jnp.take_along_axis(hs * 2.0, inv[..., None], axis=1)
+        xo = jnp.take_along_axis(xs * 3.0, inv[..., None], axis=1)
+        return jnp.sum(ho * wh) + jnp.sum(xo * wx)
+
+    gh_new, gx_new = jax.grad(f_new, argnums=(0, 1))(h, x)
+    gh_ref, gx_ref = jax.grad(f_ref, argnums=(0, 1))(h, x)
+    np.testing.assert_allclose(np.asarray(gh_new), np.asarray(gh_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               atol=1e-6)
