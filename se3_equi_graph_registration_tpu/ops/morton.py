@@ -142,28 +142,45 @@ def _permute_rows_bwd(res, g):
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+# XLA's variadic sort unrolls the bitonic network per operand: TPU compile
+# time scales ~linearly with (operands x stages) and blows up fast — measured
+# 211s to compile a 37-operand sort at N=2048 (vs 4.4s for argsort), and >10
+# MINUTES at N=8192. Runtime-wise wide sorts win only ~0.2ms per embed, so:
+# narrow columns (coords, iota) ride the sort, wide tensors (features) are
+# gathered by the co-sorted permutation.
+_MAX_SORT_OPERANDS = 8
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def sort_by_curve(h: Array, x: Array, curve: str = "hilbert"):
-    """Sort (h [..., N, C], x [..., N, 3]) along the space-filling curve in
-    ONE multi-operand key-value sort → (hs, xs, perm).
+    """Sort (h [..., N, C], x [..., N, 3]) along the space-filling curve
+    → (hs, xs, perm).
 
     Equivalent to `perm = morton_perm(x); take(h/x, perm)` (same stable-sort
-    tie-breaks, bit-identical outputs) but measurably cheaper on TPU: the
-    bitonic network moves the value columns alongside the key compare instead
-    of paying argsort + two gathers. Gradients treat the permutation as
-    locally constant (exactly like the argsort formulation — the codes are
-    quantized, so no gradient flows through the ordering) and lower to
-    scatter-free gathers by the inverse permutation."""
+    tie-breaks, bit-identical outputs) but cheaper on TPU: ONE key-value sort
+    co-sorts the coordinate columns and iota with the curve-code compare
+    (replacing argsort + the x gather); h is gathered by the resulting perm
+    (features stay OUT of the sort — see _MAX_SORT_OPERANDS). Gradients treat
+    the permutation as locally constant (exactly like the argsort formulation
+    — the codes are quantized, so no gradient flows through the ordering) and
+    lower to scatter-free gathers by the inverse permutation."""
     codes = curve_codes(x, curve=curve)
     iota = jnp.broadcast_to(
         jnp.arange(x.shape[-2], dtype=jnp.int32), codes.shape)
-    cols = ((codes,) + tuple(x[..., j] for j in range(x.shape[-1]))
-            + tuple(h[..., j] for j in range(h.shape[-1])) + (iota,))
+    cols = ((codes,) + tuple(x[..., j] for j in range(x.shape[-1])) + (iota,))
+    if len(cols) + h.shape[-1] <= _MAX_SORT_OPERANDS:
+        cols = cols[:-1] + tuple(
+            h[..., j] for j in range(h.shape[-1])) + (iota,)
+        out = jax.lax.sort(cols, dimension=-1, num_keys=1)
+        nx = x.shape[-1]
+        xs = jnp.stack(out[1:1 + nx], axis=-1)
+        hs = jnp.stack(out[1 + nx:-1], axis=-1)
+        return hs, xs, out[-1]
     out = jax.lax.sort(cols, dimension=-1, num_keys=1)
-    nx = x.shape[-1]
-    xs = jnp.stack(out[1:1 + nx], axis=-1)
-    hs = jnp.stack(out[1 + nx:-1], axis=-1)
-    return hs, xs, out[-1]
+    xs = jnp.stack(out[1:-1], axis=-1)
+    perm = out[-1]
+    hs = jnp.take_along_axis(h, perm[..., None], axis=-2)
+    return hs, xs, perm
 
 
 def _sort_by_curve_fwd(h, x, curve):
@@ -184,18 +201,36 @@ sort_by_curve.defvjp(_sort_by_curve_fwd, _sort_by_curve_bwd)
 
 @jax.custom_vjp
 def unsort_rows(arrs: tuple, perm: Array) -> tuple:
-    """Invert the row permutation on a tuple of [..., N, C_i] arrays in ONE
-    key-value sort keyed by perm: u[..., perm[i], :] = a[..., i, :].
+    """Invert the row permutation on a tuple of [..., N, C_i] arrays:
+    u[..., perm[i], :] = a[..., i, :].
 
-    Cheaper than `take(a, argsort(perm))` on TPU (no argsort pass; one sort
-    shares the key compares across all columns), and the VJP is a plain
-    gather by perm — scatter-free, like permute_rows."""
-    cols = tuple(a[..., j] for a in arrs for j in range(a.shape[-1]))
-    out = jax.lax.sort((perm,) + cols, dimension=-1, num_keys=1)
-    res, o = [], 1
-    for a in arrs:
-        res.append(jnp.stack(out[o:o + a.shape[-1]], axis=-1))
-        o += a.shape[-1]
+    One key-value sort keyed by perm carries the narrow arrays and iota
+    (yielding the inverse permutation as a by-product); arrays that would
+    push the sort past _MAX_SORT_OPERANDS are gathered by that inverse
+    instead (wide sorts explode TPU compile time — see note above). Still
+    no argsort pass, and the VJP is a plain gather by perm — scatter-free,
+    like permute_rows."""
+    in_sort, by_gather = [], []
+    budget = _MAX_SORT_OPERANDS - 2          # key + iota always ride
+    for i, a in enumerate(arrs):
+        if a.shape[-1] <= budget:
+            in_sort.append(i)
+            budget -= a.shape[-1]
+        else:
+            by_gather.append(i)
+    cols = tuple(arrs[i][..., j] for i in in_sort
+                 for j in range(arrs[i].shape[-1]))
+    iota = jnp.broadcast_to(
+        jnp.arange(perm.shape[-1], dtype=jnp.int32), perm.shape)
+    out = jax.lax.sort((perm,) + cols + (iota,), dimension=-1, num_keys=1)
+    inv = out[-1]
+    res: list = [None] * len(arrs)
+    o = 1
+    for i in in_sort:
+        res[i] = jnp.stack(out[o:o + arrs[i].shape[-1]], axis=-1)
+        o += arrs[i].shape[-1]
+    for i in by_gather:
+        res[i] = jnp.take_along_axis(arrs[i], inv[..., None], axis=-2)
     return tuple(res)
 
 

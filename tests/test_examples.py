@@ -1,0 +1,20 @@
+"""The examples/ scripts stay runnable (CPU, small N)."""
+import pathlib
+import subprocess
+import sys
+
+
+def test_register_pair_quickstart_runs():
+    root = pathlib.Path(__file__).resolve().parents[1]
+    # run in-process-style via subprocess so argparse/__main__ is exercised;
+    # force CPU before any jax import (env JAX_PLATFORMS is ignored here —
+    # sitecustomize pins the axon plugin — so go through jax.config)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv=['register_pair.py','--n','256'];"
+        f"exec(open(r'{root / 'examples' / 'register_pair.py'}').read())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=root,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "rotation error" in out.stdout, out.stdout
