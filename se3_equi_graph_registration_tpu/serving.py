@@ -42,11 +42,14 @@ class Registrar:
 
         def _fwd(p, b):
             out = engine._apply_with_graphs(self.model, cfg, p, b)
-            # covariance inside the SAME jitted program — eagerly it costs
-            # a dozen per-op dispatches on the serving hot path
+            # covariance AND the similarity reduction inside the SAME jitted
+            # program — eagerly they cost per-op dispatches on the serving hot
+            # path, and returning the full [B, N] similarity would drag a
+            # large fetch over the host link (measured: the B=1 compute is
+            # ~1.2 ms; every avoidable dispatch/fetch dwarfs it)
             cov = pose_covariance(b["src_pts"], b["tgt_pts"], out.R, out.t,
                                   out.weights)
-            return out, cov
+            return out.R, out.t, jnp.mean(out.similarity), cov
 
         self._apply = jax.jit(_fwd)
 
@@ -149,9 +152,11 @@ class Registrar:
             "tgt_feat": jnp.asarray(np.stack(out_t_feat)),
             "labels": jnp.asarray(np.stack(out_lbl)),
         }
-        out, cov = self._apply(self.params, batch)
-        R, t = np.asarray(out.R), np.asarray(out.t)
-        info = {"similarity_mean": float(jnp.mean(out.similarity)),
+        # ONE host round trip for all four results (4 separate np.asarray
+        # fetches quadruple the link latency)
+        R, t, sim, cov = jax.device_get(self._apply(self.params, batch))
+        R, t = np.asarray(R), np.asarray(t)
+        info = {"similarity_mean": float(sim),
                 "pose_covariance": np.asarray(cov)}
         if clique_prefilter:
             info["clique_inliers"] = [int(l.sum()) for l in out_lbl]
