@@ -41,7 +41,7 @@ def fast_tpu_config(**overrides) -> "EngineConfig":
     the fused Pallas EGNN with windowed gathers at single-pass matmul
     precision, approx head k-selection, quaternion Kabsch."""
     kw = dict(egnn_impl="pallas", knn_method="morton", kabsch_solver="quaternion",
-              topk_method="approx", egnn_accurate=False)
+              topk_method="approx", egnn_accurate=False, knn_packed=True)
     kw.update(overrides)
     return EngineConfig(**kw)
 
@@ -82,6 +82,10 @@ class EngineConfig:
     knn_recall: float = 0.85        # approx_min_k recall target (v5e: 0.85 is
                                     # 3.4x faster than 0.95 with ~5% more
                                     # neighbor churn the EGNN tolerates)
+    knn_packed: bool = False        # morton+pallas: packed int32 (dist, lane)
+                                    # extraction keys — ~2x less VPU sweep
+                                    # work; near-ties within ~2^-13 relative
+                                    # d² may swap (window <= 1024 only)
     kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
     topk_method: str = "exact"      # head top-k: 'exact' | 'approx'
     egnn_accurate: bool = True      # pallas matmul precision (fp32 vs bf16)
@@ -170,7 +174,8 @@ def _apply_morton_fast(model, cfg, params, batch):
             # fused window-knn kernel (same neighbor sets/tie-breaks as the
             # XLA builder; tile must match the EGCL kernel's tile_t)
             from ..ops.pallas.knn_kernel import knn_pallas
-            nbr = knn_pallas(xs, cfg.k, tile_t=tile, window=window)
+            nbr = knn_pallas(xs, cfg.k, tile_t=tile, window=window,
+                             packed=cfg.knn_packed and window <= 1024)
         else:
             nbr = jax.vmap(lambda xx: morton.knn_graph_window(
                 xx, cfg.k, tile=tile, window=window))(xs)

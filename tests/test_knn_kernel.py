@@ -41,3 +41,50 @@ def test_engine_pallas_knn_method(rng):
     state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
     out = engine._apply_with_graphs(model, cfg, state.params, batch)
     assert np.all(np.isfinite(np.asarray(out.R)))
+
+
+def test_packed_window_mode_matches_exact_up_to_near_ties(rng):
+    """Packed int32 (distance, lane) extraction keys: identical to the exact
+    window kernel except for candidates whose d^2 agree within ~2^-13
+    relative (the 10 mantissa bits ceded to the lane id)."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    n, k, tile, window = 512, 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    xs = jnp.take_along_axis(x, morton.morton_perm(x)[..., None], axis=0)
+    exact = np.asarray(knn_pallas(xs, k, tile_t=tile, window=window,
+                                  interpret=True))
+    packed = np.asarray(knn_pallas(xs, k, tile_t=tile, window=window,
+                                   packed=True, interpret=True))
+    xs_np = np.asarray(xs)
+    d2 = ((xs_np[:, None] - xs_np[None]) ** 2).sum(-1)
+    diff_rows = 0
+    for r in range(n):
+        se, sp = set(exact[r]), set(packed[r])
+        if se == sp:
+            continue
+        diff_rows += 1
+        # every swapped pair must be a near-tie in distance
+        only_e, only_p = se - sp, sp - se
+        lo = min(d2[r, j] for j in only_e | only_p)
+        hi = max(d2[r, j] for j in only_e | only_p)
+        assert hi - lo <= 2e-3 * max(hi, 1e-12), (r, lo, hi)
+    assert diff_rows <= n * 0.05, f"{diff_rows} rows differ"
+
+
+def test_packed_duplicate_points_tiebreak(rng):
+    """Exact-duplicate points: packed keys still pick the lowest window lane
+    among true ties (same as the exact kernel's lowest-index rule)."""
+    n, k, tile, window = 256, 8, 128, 256
+    x = np.zeros((n, 3), np.float32)
+    x[: n // 2] = rng.standard_normal((n // 2, 3)).astype(np.float32)
+    x[n // 2:] = x[: n // 2]  # every point duplicated
+    xs = jnp.asarray(x)
+    packed = np.asarray(knn_pallas(xs, k, tile_t=tile, window=window,
+                                   packed=True, interpret=True))
+    assert packed.shape == (n, k)
+    assert np.all(packed >= 0) and np.all(packed < n)
+    # self or duplicate (distance 0) must be among the k selected
+    for i in range(n):
+        dup = (i + n // 2) % n
+        assert i in packed[i] or dup in packed[i], i
