@@ -89,8 +89,10 @@ def bench(batch_sizes=(16, 32, 64), n=2048, k=16, c=32, iters=20, warmup=3,
 
 
 def bench_train(batch_sizes=(16, 64), n=2048, k=16, c=32, iters=20,
-                verbose=False):
+                verbose=False, profile_dir=None):
     """Full training step (graphs + forward + loss + backward + Adam)."""
+    import contextlib
+
     import jax
 
     from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
@@ -112,10 +114,13 @@ def bench_train(batch_sizes=(16, 64), n=2048, k=16, c=32, iters=20,
         for _ in range(3):
             state, m = step(state, batch)
         float(m["total"])  # host fetch — the step chains through `state`
+        trace_ctx = (jax.profiler.trace(profile_dir) if profile_dir
+                     else contextlib.nullcontext())
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, batch)
-        float(m["total"])
+        with trace_ctx:
+            for _ in range(iters):
+                state, m = step(state, batch)
+            float(m["total"])
         dt = (time.perf_counter() - t0) / iters
         if verbose:
             print(f"  train batch {b}: {dt * 1e3:.2f} ms -> {b / dt:.0f} "
@@ -141,7 +146,8 @@ def main():
     if args.train:
         value, best_b = bench_train(batch_sizes=tuple(args.batches),
                                     n=args.n, k=args.k, iters=args.iters,
-                                    verbose=args.verbose)
+                                    verbose=args.verbose,
+                                    profile_dir=args.profile)
         print(json.dumps({
             "metric": f"training_pairs_per_sec_{args.n}pts_single_chip",
             "value": round(value, 1),

@@ -30,7 +30,8 @@ def load_pair(args, rng):
         tgt = np.asarray(d["xyz_1"], np.float32)[corr[:, 1]]
         fs = np.asarray(d["feat_0"], np.float32)[corr[:, 0]][:, :32]
         ft = np.asarray(d["feat_1"], np.float32)[corr[:, 1]][:, :32]
-        gt = np.asarray(d["gt_pose"], np.float32)
+        gt = d.get("gt_pose")
+        gt = np.asarray(gt, np.float32) if gt is not None else None
         return src, fs, tgt, ft, gt
     from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
     pb = make_pair_batch(rng, batch=1, n=args.n, feat_dim=32)

@@ -116,32 +116,6 @@ def window_starts(n: int, tile: int, window: int) -> Array:
     return jnp.clip(i - pad_tiles, 0, (n - window) // tile) * tile
 
 
-@jax.custom_vjp
-def permute_rows(x: Array, perm: Array, inv: Array) -> Array:
-    """Gather rows of x [B, N, C] by perm [B, N] — with a SCATTER-FREE
-    backward: the transpose of a permutation gather is a gather by the
-    inverse permutation (`inv = argsort(perm)`), whereas jax's generic
-    take_along_axis transpose lowers to a serial scatter-add that costs
-    ~100x more than the forward on TPU."""
-    return jnp.take_along_axis(x, perm[..., None], axis=1)
-
-
-def _permute_rows_fwd(x, perm, inv):
-    return permute_rows(x, perm, inv), (perm, inv)
-
-
-def _permute_rows_bwd(res, g):
-    import numpy as np
-
-    perm, inv = res
-    gx = jnp.take_along_axis(g, inv[..., None], axis=1)
-    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return gx, f0(perm), f0(inv)
-
-
-permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
-
-
 # XLA's variadic sort unrolls the bitonic network per operand: TPU compile
 # time scales ~linearly with (operands x stages) and blows up fast — measured
 # 211s to compile a 37-operand sort at N=2048 (vs 4.4s for argsort), and >10
@@ -208,8 +182,8 @@ def unsort_rows(arrs: tuple, perm: Array) -> tuple:
     (yielding the inverse permutation as a by-product); arrays that would
     push the sort past _MAX_SORT_OPERANDS are gathered by that inverse
     instead (wide sorts explode TPU compile time — see note above). Still
-    no argsort pass, and the VJP is a plain gather by perm — scatter-free,
-    like permute_rows."""
+    no argsort pass, and the VJP is a plain gather by perm — scatter-free
+    (the generic take_along_axis transpose is a serial TPU scatter)."""
     in_sort, by_gather = [], []
     budget = _MAX_SORT_OPERANDS - 2          # key + iota always ride
     for i, a in enumerate(arrs):

@@ -158,7 +158,12 @@ def _apply_morton_fast(model, cfg, params, batch):
     egnn_vars = {"params": params["params"]["egnn"]}
     n = batch["src_pts"].shape[1]
     # clamp the curve window to the cloud: at window >= n the path degrades
-    # gracefully to full-table gathers (small-N configs, e.g. serving at 256)
+    # gracefully to full-table gathers (small-N configs, e.g. serving at 256).
+    # The Pallas kernels need 128-lane-aligned windows, so N must be a
+    # multiple of 128 — fail here with a usable message, not deep in Mosaic.
+    assert n % 128 == 0, (
+        f"the morton fast path needs num_nodes divisible by 128 (got {n}); "
+        f"use knn_method='exact'/'approx'/'pallas' for smaller clouds")
     window = min(cfg.egnn_window, n)
     tile = min(cfg.egnn_tile, n)
     assert n % tile == 0 and window % tile == 0, (

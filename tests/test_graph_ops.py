@@ -173,26 +173,29 @@ def test_morton_batched_perm(rng):
 
 def test_sort_by_curve_matches_argsort_gather(rng):
     """The fused key-value sort (morton.sort_by_curve) is bit-identical to
-    the argsort+gather formulation it replaces (stable sort, same ties)."""
+    the argsort+gather formulation it replaces (stable sort, same ties) —
+    in BOTH branches: c=8 gathers h by perm, c=2 rides h through the sort
+    (total operands <= _MAX_SORT_OPERANDS)."""
     from se3_equi_graph_registration_tpu.ops import morton
 
-    b, n, c = 3, 256, 8
-    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
-    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
-    hs, xs, perm = morton.sort_by_curve(h, x, "hilbert")
-    want_perm = morton.morton_perm(x, curve="hilbert")
-    np.testing.assert_array_equal(np.asarray(perm), np.asarray(want_perm))
-    np.testing.assert_array_equal(
-        np.asarray(xs), np.take_along_axis(np.asarray(x),
-                                           np.asarray(perm)[..., None], 1))
-    np.testing.assert_array_equal(
-        np.asarray(hs), np.take_along_axis(np.asarray(h),
-                                           np.asarray(perm)[..., None], 1))
+    for c in (8, 2):
+        b, n = 3, 256
+        x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        hs, xs, perm = morton.sort_by_curve(h, x, "hilbert")
+        want_perm = morton.morton_perm(x, curve="hilbert")
+        np.testing.assert_array_equal(np.asarray(perm), np.asarray(want_perm))
+        np.testing.assert_array_equal(
+            np.asarray(xs), np.take_along_axis(np.asarray(x),
+                                               np.asarray(perm)[..., None], 1))
+        np.testing.assert_array_equal(
+            np.asarray(hs), np.take_along_axis(np.asarray(h),
+                                               np.asarray(perm)[..., None], 1))
 
-    # unsort_rows inverts it exactly
-    h0, x0 = morton.unsort_rows((hs, xs), perm)
-    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h))
-    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x))
+        # unsort_rows inverts it exactly
+        h0, x0 = morton.unsort_rows((hs, xs), perm)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h))
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x))
 
 
 def test_sort_unsort_gradients_match_autodiff(rng):
