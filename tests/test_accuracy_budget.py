@@ -103,3 +103,54 @@ def test_knn_recall_effect_on_pose(budget_setup):
         jnp.asarray(_pose_from(outs[0.85])), jnp.asarray(_pose_from(outs[0.95])))
     assert np.asarray(rot_delta).max() < 3.0
     assert np.asarray(trans_delta).max() < 3.0
+
+
+def test_packed_knn_pose_delta_negligible(rng):
+    """Packed int32 extraction keys (the fast-config default on TPU) change
+    the pose only through ~2^-13-relative near-tie neighbor swaps. Run the
+    full model on the SAME window graph built by the exact vs packed kernel
+    (interpret mode; CPU engine path otherwise never exercises packed) and
+    bound the (R, t) delta."""
+    from se3_equi_graph_registration_tpu.ops import morton
+    from se3_equi_graph_registration_tpu.ops.pallas.knn_kernel import knn_pallas
+
+    b, n, c, k, window = 2, 256, 16, 8, 256
+    cfg = engine.fast_tpu_config(num_nodes=n, k=k, in_node_nf=c,
+                                 hidden_nf=32, top_k=64, egnn_window=window,
+                                 egnn_impl="xla")  # XLA layers: isolate knn
+    model = engine.build_model(cfg)
+    pb = make_pair_batch(rng, batch=b, n=n, feat_dim=c, noise=0.005)
+    batch = engine.batch_to_device((pb.corr, pb.labels, pb.src_pts,
+                                    pb.tgt_pts, pb.src_feat, pb.tgt_feat,
+                                    pb.gt_pose))
+    nbr0 = jnp.zeros((b, n, k), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), batch["src_feat"],
+                        batch["src_pts"], nbr0, batch["tgt_feat"],
+                        batch["tgt_pts"], nbr0, batch["labels"])
+
+    def embed_with(knn_packed):
+        outs = []
+        for side in ("src", "tgt"):
+            h, x = batch[f"{side}_feat"], batch[f"{side}_pts"]
+            hs, xs, perm = morton.sort_by_curve(h, x, "hilbert")
+            nbr = knn_pallas(xs, k, tile_t=128, window=window,
+                             packed=knn_packed, interpret=True)
+            from se3_equi_graph_registration_tpu.models.egnn import EGNN
+            egnn = EGNN(in_node_nf=c, hidden_nf=32, out_node_nf=32,
+                        n_layers=3, num_heads=4, direction="center",
+                        so3_mode="frame")
+            h2, x2 = egnn.apply({"params": params["params"]["egnn"]},
+                                hs, xs, nbr)
+            ho, xo = morton.unsort_rows((h2, x2), perm)
+            outs.extend([ho, xo])
+        return model.apply(params, batch["src_feat"], batch["tgt_feat"],
+                           batch["src_pts"], batch["tgt_pts"],
+                           outs[0], outs[1], outs[2], outs[3],
+                           batch["labels"], method="head_from_embeddings")
+
+    out_exact = embed_with(False)
+    out_packed = embed_with(True)
+    rot_delta, trans_delta = metrics.calculate_pose_error(
+        jnp.asarray(_pose_from(out_exact)), jnp.asarray(_pose_from(out_packed)))
+    assert float(jnp.max(rot_delta)) < 0.5, np.asarray(rot_delta)    # deg
+    assert float(jnp.max(trans_delta)) < 0.5, np.asarray(trans_delta)  # cm
