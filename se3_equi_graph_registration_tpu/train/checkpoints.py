@@ -113,6 +113,122 @@ def convert_reference_egnn(path: str, **kw) -> dict:
         lambda a: jnp.asarray(a, jnp.float32), {"params": tree})
 
 
+def _rt(k) -> "np.ndarray":
+    """flax [in, out] kernel → torch [out, in] weight."""
+    return np.ascontiguousarray(np.asarray(k).T)
+
+
+def _export_egnn_sd(tree: dict, prefix: str = "", n_layers: int = 3,
+                    num_heads: int = 4, hidden: int = 32) -> dict:
+    """Inverse of `_convert_egnn_tree`: flax EGNN params → reference
+    state-dict tensors (numpy; caller wraps in torch)."""
+    sd: dict[str, np.ndarray] = {
+        prefix + "embedding_in.weight": _rt(tree["embedding_in"]["kernel"]),
+        prefix + "embedding_in.bias": np.asarray(tree["embedding_in"]["bias"]),
+        prefix + "embedding_out.weight": _rt(tree["embedding_out"]["kernel"]),
+        prefix + "embedding_out.bias": np.asarray(tree["embedding_out"]["bias"]),
+    }
+    w = hidden // num_heads
+    for i in range(n_layers):
+        g, p = tree[f"gcl_{i}"], f"{prefix}gcl_{i}."
+        fused_k = np.asarray(g["edge_mlp"]["fused_in"]["kernel"])   # [77, H]
+        fused_b = np.asarray(g["edge_mlp"]["fused_in"]["bias"])     # [H]
+        head_k = np.asarray(g["edge_mlp"]["head_kernels"])          # [h, w, w]
+        head_b = np.asarray(g["edge_mlp"]["head_biases"])           # [h, w]
+        for h in range(num_heads):
+            sd[p + f"edge_mlps.{h}.0.weight"] = _rt(fused_k[:, h * w:(h + 1) * w])
+            sd[p + f"edge_mlps.{h}.0.bias"] = fused_b[h * w:(h + 1) * w]
+            sd[p + f"edge_mlps.{h}.2.weight"] = _rt(head_k[h])
+            sd[p + f"edge_mlps.{h}.2.bias"] = head_b[h]
+        sd[p + "layer_norm.weight"] = np.asarray(g["layer_norm"]["scale"])
+        sd[p + "layer_norm.bias"] = np.asarray(g["layer_norm"]["bias"])
+        sd[p + "node_mlp.0.weight"] = _rt(g["node_mlp_0"]["kernel"])
+        sd[p + "node_mlp.0.bias"] = np.asarray(g["node_mlp_0"]["bias"])
+        sd[p + "node_mlp.2.weight"] = _rt(g["node_mlp_1"]["kernel"])
+        sd[p + "node_mlp.2.bias"] = np.asarray(g["node_mlp_1"]["bias"])
+        sd[p + "coord_mlp.0.weight"] = _rt(g["coord_mlp_0"]["kernel"])
+        sd[p + "coord_mlp.0.bias"] = np.asarray(g["coord_mlp_0"]["bias"])
+        sd[p + "coord_mlp.2.weight"] = _rt(g["coord_mlp_out"]["kernel"])
+    return sd
+
+
+def export_reference_checkpoint(params: dict, path: str, epoch: int = 0,
+                                lr: float = 1e-4, n_layers: int = 3,
+                                num_heads: int = 4, hidden: int = 32,
+                                seed: int = 0) -> None:
+    """Inverse of `convert_reference_checkpoint`: write a `.pth` that the
+    reference's `load_checkpoint` (src/3dmatch_train_egnn_with_batch.py:
+    1351-1395) loads with strict state-dicts — so weights trained in this
+    framework round-trip back into the reference ecosystem.
+
+    The checkpoint schema (:1332-1337) is {epoch, egnn_state_dict,
+    cross_attention_state_dict, optimizer_state_dict}. The head's aux modules
+    (shared_mlp_decoder, shallow_mlp_pose, bn1/bn2 — present in every
+    reference checkpoint but unused by its forward pass) have no counterpart
+    here, so they are emitted at the reference's initialization values
+    (PyTorch Linear default init, seeded; BatchNorm identity). The optimizer
+    entry is a fresh Adam state over the head's parameter list (:1412).
+    """
+    import torch
+
+    egnn_tree = params["params"]["egnn"]
+    mlp_tree = params["params"]["mlp"]
+
+    egnn_sd = _export_egnn_sd(egnn_tree, prefix="", n_layers=n_layers,
+                              num_heads=num_heads, hidden=hidden)
+    ca: dict[str, np.ndarray] = _export_egnn_sd(
+        egnn_tree, prefix="egnn.", n_layers=n_layers, num_heads=num_heads,
+        hidden=hidden)
+    for i, name in ((0, "dense_0"), (2, "dense_1"), (4, "dense_2")):
+        ca[f"mlp.{i}.weight"] = _rt(mlp_tree[name]["kernel"])
+        ca[f"mlp.{i}.bias"] = np.asarray(mlp_tree[name]["bias"])
+
+    rng = np.random.default_rng(seed)
+
+    def linear(pfx: str, fan_in: int, fan_out: int):
+        # PyTorch Linear default (kaiming-uniform a=sqrt(5) → U(±1/sqrt(in)))
+        bound = 1.0 / np.sqrt(fan_in)
+        ca[pfx + ".weight"] = rng.uniform(
+            -bound, bound, (fan_out, fan_in)).astype(np.float32)
+        ca[pfx + ".bias"] = rng.uniform(
+            -bound, bound, (fan_out,)).astype(np.float32)
+
+    linear("shared_mlp_decoder.0", (hidden + 3) * 2, 128)   # :602-606
+    linear("shared_mlp_decoder.2", 128, 64)
+    linear("shallow_mlp_pose.0", 64, 32)                    # :609-613
+    linear("shallow_mlp_pose.2", 32, 7)
+    for bn, dim in (("bn1", hidden), ("bn2", hidden + 3)):  # :617-618
+        ca[bn + ".weight"] = np.ones(dim, np.float32)
+        ca[bn + ".bias"] = np.zeros(dim, np.float32)
+        ca[bn + ".running_mean"] = np.zeros(dim, np.float32)
+        ca[bn + ".running_var"] = np.ones(dim, np.float32)
+        ca[bn + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    # copy: jax buffers surface as non-writable numpy views, which torch
+    # rejects with a UserWarning
+    to_torch = lambda sd: {k: torch.from_numpy(np.array(v, copy=True))
+                           for k, v in sd.items()}
+    n_params = sum(1 for k in ca
+                   if not k.endswith(("running_mean", "running_var",
+                                      "num_batches_tracked")))
+    ck = {
+        "epoch": int(epoch),
+        "egnn_state_dict": to_torch(egnn_sd),
+        "cross_attention_state_dict": to_torch(ca),
+        # fresh Adam(model.parameters(), lr) state (:1412) — loadable, no step
+        "optimizer_state_dict": {
+            "state": {},
+            "param_groups": [{
+                "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+                "weight_decay": 0, "amsgrad": False, "maximize": False,
+                "foreach": None, "capturable": False, "differentiable": False,
+                "fused": None, "params": list(range(n_params)),
+            }],
+        },
+    }
+    torch.save(ck, path)
+
+
 class TrainCheckpointer:
     """Orbax checkpointing with periodic + best-val retention and resume.
 

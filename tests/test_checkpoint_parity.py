@@ -279,3 +279,37 @@ def test_no_encoder_checkpoint_also_converts():
     # live parameters only: the shared EGNN + score MLP (the checkpoint's
     # extra ~75K sit in dead aux heads and a duplicated EGNN copy)
     assert 20_000 < n_params < 60_000
+
+
+def test_export_reference_checkpoint_roundtrip(tmp_path):
+    """flax -> .pth -> flax round-trips bit-exactly, and the exported file
+    loads STRICT into the reference's own classes (the reverse-migration
+    path: weights trained here flow back into the reference ecosystem)."""
+    from se3_equi_graph_registration_tpu.train.checkpoints import (
+        export_reference_checkpoint)
+
+    params = convert_reference_checkpoint(CKPT)
+    out = str(tmp_path / "exported.pth")
+    export_reference_checkpoint(params, out, epoch=21)
+
+    # bit-exact tensor round trip through the torch schema
+    back = convert_reference_checkpoint(out)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, back)
+
+    # key-set parity with a real reference checkpoint (strict-load superset)
+    import torch
+    ours = torch.load(out, map_location="cpu", weights_only=False)
+    ref = torch.load(CKPT, map_location="cpu", weights_only=False)
+    assert set(ours["egnn_state_dict"]) == set(ref["egnn_state_dict"])
+    assert set(ours["cross_attention_state_dict"]) == \
+        set(ref["cross_attention_state_dict"])
+    assert ours["epoch"] == 21
+
+    # the reference's own modules load it strict=True
+    import reference_oracle
+    head = reference_oracle.build_head(reference_oracle.train_module(), out,
+                                       num_nodes=64)
+    assert head is not None
