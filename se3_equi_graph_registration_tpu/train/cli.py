@@ -163,10 +163,33 @@ def cmd_eval(cfg: ExperimentConfig, args) -> None:
     print(json.dumps(summary, indent=2))
 
 
+def cmd_export(cfg: ExperimentConfig, args) -> None:
+    """Convert a checkpoint between this framework and the reference:
+    orbax dir (or reference .pth) → reference-schema .pth the upstream
+    scripts load strict (train/checkpoints.py:export_reference_checkpoint)."""
+    from .checkpoints import export_reference_checkpoint
+
+    if args.checkpoint is None or args.out is None:
+        raise SystemExit("export requires --checkpoint <orbax-dir|.pth> "
+                         "--out <file.pth>")
+    ecfg = cfg.engine
+    model = engine.build_model(ecfg)
+    opt = engine.build_optimizer(ecfg, steps_per_epoch=1)
+    batches_fn = _loader(cfg, "test", shuffle=False)
+    first = engine.batch_to_device(next(iter(batches_fn())))
+    template = engine.init_state(model, opt, ecfg, jax.random.PRNGKey(0),
+                                 first)
+    params = _load_params(args.checkpoint, cfg, model, template)
+    export_reference_checkpoint(
+        params, args.out, epoch=args.epoch, n_layers=ecfg.n_layers,
+        num_heads=ecfg.num_heads, hidden=ecfg.hidden_nf)
+    print(f"wrote reference-schema checkpoint to {args.out}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] not in ("train", "eval"):
-        raise SystemExit("usage: cli.py {train|eval} [--preset ...] ...")
+    if not argv or argv[0] not in ("train", "eval", "export"):
+        raise SystemExit("usage: cli.py {train|eval|export} [--preset ...] ...")
     command, rest = argv[0], argv[1:]
     # multi-process runs (pods / multi-slice) initialize before first
     # backend touch; single-process is a no-op (parallel/distributed.py)
@@ -175,6 +198,8 @@ def main(argv=None):
     cfg, args = parse_cli(rest, description=f"{command} entry point")
     if command == "train":
         cmd_train(cfg, args)
+    elif command == "export":
+        cmd_export(cfg, args)
     else:
         cmd_eval(cfg, args)
 

@@ -125,6 +125,10 @@ def parse_cli(argv: Optional[list[str]] = None,
                     help="dotted overrides, e.g. engine.lr=3e-4")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint to evaluate / resume from (.pth converts)")
+    ap.add_argument("--out", default=None,
+                    help="output path for the `export` command (.pth)")
+    ap.add_argument("--epoch", type=int, default=0,
+                    help="epoch stamp written by the `export` command")
     args = ap.parse_args(argv)
 
     cfg = preset(args.preset)

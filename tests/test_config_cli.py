@@ -107,3 +107,19 @@ def test_lr_schedule_epoch_unit_boundaries():
     assert config_lib.preset("kitti").engine.lr_step_unit == "epoch"
     # step-unit default stays valid without steps_per_epoch
     assert np.isclose(float(engine.lr_schedule(engine.EngineConfig())(0)), 1e-4)
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """`cli export` writes a reference-schema .pth from a .pth or orbax
+    checkpoint (the reverse-migration entry point)."""
+    from se3_equi_graph_registration_tpu.train import cli
+
+    out = str(tmp_path / "exported.pth")
+    cli.main(["export", "--preset", "synthetic",
+              "--checkpoint", "/root/reference/checkpoints/checkpoint-3dmatch.pth",
+              "--out", out, "--epoch", "7"])
+    import torch
+    ck = torch.load(out, map_location="cpu", weights_only=False)
+    assert ck["epoch"] == 7
+    assert set(ck) >= {"egnn_state_dict", "cross_attention_state_dict",
+                       "optimizer_state_dict"}
