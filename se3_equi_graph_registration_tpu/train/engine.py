@@ -94,6 +94,9 @@ class EngineConfig:
                                     # (bounded — robust training)
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
+    bf16_params: bool = False       # live params in bf16 with stochastic-
+                                    # rounding updates + fp32 master in the
+                                    # optimizer state (utils/bf16_training)
 
 
 def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationModel:
@@ -135,6 +138,10 @@ def build_optimizer(cfg: EngineConfig,
     opt = optax.adam(lr_schedule(cfg, steps_per_epoch))
     if cfg.grad_accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    if cfg.bf16_params:
+        # outermost: the emitted updates are bf16 deltas vs the live params
+        from ..utils.bf16_training import bf16_sr_optimizer
+        opt = bf16_sr_optimizer(opt)
     return opt
 
 
@@ -297,6 +304,11 @@ def init_state(model: RegistrationModel, optimizer, cfg: EngineConfig,
         rng_key, example_batch["src_feat"], example_batch["src_pts"], nbr,
         example_batch["tgt_feat"], example_batch["tgt_pts"], nbr,
         example_batch["labels"])
+    if cfg.bf16_params:
+        # live params in bf16; the SR optimizer keeps the fp32 master
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
     return TrainState(params=params, opt_state=optimizer.init(params),
                       step=jnp.zeros((), jnp.int32))
 

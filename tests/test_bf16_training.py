@@ -102,3 +102,32 @@ def test_tree_round_preserves_structure_and_ints():
     assert out["a"].dtype == jnp.bfloat16
     assert out["b"].dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(out["b"]), np.arange(4))
+
+
+def test_engine_bf16_params_knob(rng):
+    """EngineConfig(bf16_params=True): live params are bf16, the SR master
+    hides in the optimizer state, and the standard make_train_step trains."""
+    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
+    from se3_equi_graph_registration_tpu.train import engine
+
+    b, n, k, c = 2, 128, 8, 16
+    cfg = engine.EngineConfig(num_nodes=n, k=k, in_node_nf=c, hidden_nf=32,
+                              top_k=32, lr=1e-3, bf16_params=True)
+    model = engine.build_model(cfg)
+    opt = engine.build_optimizer(cfg)
+    pb = make_pair_batch(rng, batch=b, n=n, feat_dim=c, noise=0.005)
+    batch = engine.batch_to_device((pb.corr, pb.labels, pb.src_pts, pb.tgt_pts,
+                                    pb.src_feat, pb.tgt_feat, pb.gt_pose))
+    state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    assert all(leaf.dtype == jnp.bfloat16
+               for leaf in jax.tree_util.tree_leaves(state.params))
+    step = engine.make_train_step(model, opt, cfg)
+    first = None
+    for _ in range(8):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["total"])
+    assert np.isfinite(float(m["total"]))
+    assert float(m["total"]) < first
+    assert all(leaf.dtype == jnp.bfloat16
+               for leaf in jax.tree_util.tree_leaves(state.params))
