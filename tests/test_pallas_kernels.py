@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on CPU; compiled parity is exercised on
 real TPU by bench/verify runs)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,3 +150,40 @@ def test_edge_attr_fold(rng):
     w1 = np.asarray(tree["edge_mlp"]["fused_in"]["kernel"])
     b1 = np.asarray(tree["edge_mlp"]["fused_in"]["bias"])
     np.testing.assert_allclose(np.asarray(p.b1)[:, 0], b1 + w1[76], atol=1e-6)
+
+
+@pytest.mark.parametrize("n,tile,window", [
+    (384, 128, 384),   # the production tile at window == n (full window)
+    (512, 128, 384),   # the PRODUCTION combo (fast_tpu_config defaults)
+    (512, 128, 256),   # clipped windows at both ends
+    (384, 64, 256),    # tile 64: pad_tiles = 1, clipped at both ends
+])
+def test_windowed_kernel_shape_sweep(rng, n, tile, window):
+    """Window math (S(i) tile-quantization) is replicated across the graph
+    builder and all three kernels — sweep tile/window combos incl. the
+    production (128, 384) shape, which the fixed-shape tests above miss."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    b, k, c = 1, 8, 8
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    perm = morton.morton_perm(x)
+    x = jnp.take_along_axis(x, perm[..., None], axis=1)
+    h = jnp.take_along_axis(h, perm[..., None], axis=1)
+    nbr = jax.vmap(lambda p: morton.knn_graph_window(
+        p, k, tile=tile, window=window))(x)
+    # graph builder and knn kernel agree bit-for-bit at the same tile/window
+    from se3_equi_graph_registration_tpu.ops.pallas.knn_kernel import knn_pallas
+    nbr_kernel = knn_pallas(x, k, tile_t=tile, window=window, interpret=True)
+    np.testing.assert_array_equal(np.asarray(nbr_kernel), np.asarray(nbr))
+
+    model = EGNN(in_node_nf=c, direction="center", so3_mode="frame",
+                 n_layers=2)
+    params = model.init(jax.random.PRNGKey(0), h, x, nbr)
+    h_ref, x_ref = model.apply(params, h, x, nbr)
+    h_pal, x_pal = egnn_forward_pallas(params, h, x, nbr, tile_t=tile,
+                                       interpret=True, window=window)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               atol=5e-5, rtol=1e-4)
