@@ -104,16 +104,22 @@ def morton_perm(x: Array, curve: str = "hilbert") -> Array:
     return jnp.argsort(curve_codes(x, curve=curve), axis=-1).astype(jnp.int32)
 
 
-def window_starts(n: int, tile: int, window: int) -> Array:
-    """Window start per tile: S(i) = clip(i - pad_tiles, 0, (n-window)//tile)
-    * tile — tile-quantized so the kernels' dynamic lane offsets are provably
-    128-aligned (Mosaic requires a static proof; the constant multiply must
-    be OUTERMOST). The Pallas kernels recompute the SAME function from their
-    program id — keep all sites in sync (egcl_kernel.py, egcl_backward.py)."""
-    assert n % tile == 0 and window % tile == 0, (n, tile, window)
+def window_start_at(i, tile: int, n: int, window: int):
+    """Window start for tile index `i` (scalar or array):
+    S(i) = clip(i - pad_tiles, 0, (n-window)//tile) * tile — tile-quantized
+    so the kernels' dynamic lane offsets are provably 128-aligned (Mosaic
+    requires a static proof; the constant multiply must be OUTERMOST). The
+    ONE definition shared by the graph builder and all three Pallas kernels
+    (they call this with their program id)."""
     pad_tiles = (window - tile) // 2 // tile if window > tile else 0
-    i = jnp.arange(n // tile, dtype=jnp.int32)
     return jnp.clip(i - pad_tiles, 0, (n - window) // tile) * tile
+
+
+def window_starts(n: int, tile: int, window: int) -> Array:
+    """Window start per tile (vectorized window_start_at over all tiles)."""
+    assert n % tile == 0 and window % tile == 0, (n, tile, window)
+    return window_start_at(jnp.arange(n // tile, dtype=jnp.int32),
+                           tile, n, window)
 
 
 # XLA's variadic sort unrolls the bitonic network per operand: TPU compile

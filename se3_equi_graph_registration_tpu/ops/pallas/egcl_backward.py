@@ -103,10 +103,10 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
                                    precision=prec)
 
     if window is not None:
-        # curve-window gather/scatter (same invariant + S(i) as the forward
-        # kernel and ops/morton.window_starts — keep all three in sync)
-        pad_tiles = (window - T) // 2 // T if window > T else 0
-        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        # curve-window gather/scatter — S(i) from the ONE shared definition
+        # (ops/morton.window_start_at)
+        from ..morton import window_start_at
+        S = window_start_at(i, T, N, window)
         n_ids = jax.lax.broadcasted_iota(jnp.int32, (window, E), 0) + S
         O = (n_ids == jnp.broadcast_to(nbr, (window, E))).astype(f32)
         h_col = dot(ht_ref[0, :, pl.ds(S, window)], O)

@@ -170,11 +170,11 @@ def _egcl_kernel(nbr_ref, ht_ref, xt_ref,
         # Morton/Hilbert-window gather (ops/morton.py): the graph builder
         # guarantees every neighbor of tile i lies in [S(i), S(i)+window), so
         # comparing against the window slice alone is EXACT for this graph.
-        # S(i) must match morton.window_starts — keep in sync.
-        # S as clip(...) * T with the constant multiply OUTERMOST so Mosaic
-        # can statically prove the dynamic lane offset is 128-aligned
-        pad_tiles = (window - T) // 2 // T if window > T else 0
-        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        # S(i) from the ONE shared definition (ops/morton.window_start_at;
+        # constant multiply OUTERMOST so Mosaic can statically prove the
+        # dynamic lane offset is 128-aligned)
+        from ..morton import window_start_at
+        S = window_start_at(i, T, N, window)
         n_ids = jax.lax.broadcasted_iota(jnp.int32, (window, E), 0) + S
         # fast compiled mode: bf16 one-hot + tables — bit-identical on TPU
         # (DEFAULT-precision matmuls already round inputs to bf16) but ~5%

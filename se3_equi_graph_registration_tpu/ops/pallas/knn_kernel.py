@@ -31,11 +31,10 @@ def _knn_kernel(xt_ref, out_ref, *, T: int, N: int, K: int,
 
     x_tile = xt_ref[0, :, pl.ds(i * T, T)]           # [3, T]
     if window is not None:
-        # curve-window candidates (ops/morton.py invariant; S(i) must match
-        # morton.window_starts and the EGCL kernels — constant multiply
-        # OUTERMOST so Mosaic proves lane alignment)
-        pad_tiles = (window - T) // 2 // T if window > T else 0
-        S = jnp.clip(i - pad_tiles, 0, (N - window) // T) * T
+        # curve-window candidates — S(i) from the ONE shared definition
+        # (ops/morton.window_start_at; Mosaic-safe tile quantization)
+        from ..morton import window_start_at
+        S = window_start_at(i, T, N, window)
         cand = xt_ref[0, :, pl.ds(S, window)]        # [3, W]
         W = window
     else:
