@@ -101,6 +101,12 @@ class EGCL(nn.Module):
     direction: str = "center"
     so3_mode: str = "frame"          # 'frame' (reference parity) | 'invariant'
     axis_name: Optional[str] = None  # set inside shard_map for point sharding
+    halo: Optional[int] = None       # slab mode: exchange ±halo boundary rows
+                                     # via ppermute instead of all-gathering
+                                     # the full table (needs curve-sorted
+                                     # slabs + a graph whose neighbors stay
+                                     # within ±halo of the slab — see
+                                     # parallel/point_sharding.halo_* helpers)
     act: Callable = nn.silu
 
     @nn.compact
@@ -114,8 +120,32 @@ class EGCL(nn.Module):
             assert self.direction == "center", \
                 "point sharding aggregates onto local centers only"
             assert h.ndim == 2, "slab mode takes unbatched [n_loc, ...] arrays"
-            h_full = jnp.concatenate(jax.lax.all_gather(h, self.axis_name), axis=0)
-            x_full = jnp.concatenate(jax.lax.all_gather(x, self.axis_name), axis=0)
+            if self.halo is not None:
+                # Halo exchange (the context-parallel pattern): points are
+                # curve-sorted, so every neighbor of this slab lives within
+                # ±halo rows of it — two ppermutes of [halo, C] replace the
+                # O(N) all-gather. End slabs receive wraparound garbage that
+                # no valid index can reference (local ids stay in
+                # [halo - ·, halo + n_loc + ·) by the graph contract).
+                W = self.halo
+                D = jax.lax.axis_size(self.axis_name)
+                d = jax.lax.axis_index(self.axis_name)
+                n_loc = h.shape[0]
+                assert W <= n_loc, (W, n_loc)
+                to_right = [(i, (i + 1) % D) for i in range(D)]
+                to_left = [(i, (i - 1) % D) for i in range(D)]
+                ext = lambda a: jnp.concatenate([
+                    jax.lax.ppermute(a[-W:], self.axis_name, to_right),
+                    a,
+                    jax.lax.ppermute(a[:W], self.axis_name, to_left)], axis=0)
+                h_full, x_full = ext(h), ext(x)
+                # global neighbor ids → extended-table-local
+                nbr_idx = nbr_idx - (d * n_loc - W)
+            else:
+                h_full = jnp.concatenate(
+                    jax.lax.all_gather(h, self.axis_name), axis=0)
+                x_full = jnp.concatenate(
+                    jax.lax.all_gather(x, self.axis_name), axis=0)
             x_nbr = x_full[nbr_idx]                             # [n_loc,K,3]
             h_nbr = h_full[nbr_idx]                             # [n_loc,K,C]
             x_row = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
@@ -191,6 +221,7 @@ class EGNN(nn.Module):
     direction: str = "center"
     so3_mode: str = "frame"
     axis_name: Optional[str] = None  # point-sharded slab mode (see EGCL)
+    halo: Optional[int] = None       # slab mode: halo exchange (see EGCL)
     act: Callable = nn.silu
 
     @nn.compact
@@ -215,7 +246,8 @@ class EGNN(nn.Module):
                 hidden_nf=self.hidden_nf, edge_attr_dim=self.edge_attr_dim,
                 num_heads=self.num_heads, residual=self.residual,
                 direction=self.direction, so3_mode=self.so3_mode,
-                axis_name=self.axis_name, act=self.act, name=f"gcl_{i}",
+                axis_name=self.axis_name, halo=self.halo, act=self.act,
+                name=f"gcl_{i}",
             )(h, x, nbr_idx, edge_attr, edge_mask)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
 

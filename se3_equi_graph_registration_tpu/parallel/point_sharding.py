@@ -176,6 +176,70 @@ def shard_points_batch(batch, mesh: Mesh, data_axis: str | None = "data",
     return {k: put(k, v) for k, v in batch.items()}
 
 
+def halo_sharded_knn(x_sorted: Array, k: int, mesh: Mesh, halo: int,
+                     axis: str = "point") -> Array:
+    """k-NN over a CURVE-SORTED cloud with O(halo) communication.
+
+    x_sorted: [N, 3] sorted by ops/morton.morton_perm, sharded on `axis` in
+    contiguous slabs. Each device ppermutes its ±halo boundary rows with its
+    neighbors and finds each local point's k nearest among slab ∪ halos —
+    an approximate-kNN graph exact within ±halo curve rows (the distributed
+    analog of morton.knn_graph_window; same locality argument). Returns
+    GLOBAL indices [N, K] sharded on `axis` — by construction every neighbor
+    lies within ±halo of its slab, the contract `EGNN(halo=...)` gathers
+    under. End slabs receive wraparound rows from the far end of the curve —
+    those are MASKED out of the selection (they can and do win k-NN contests
+    otherwise, producing out-of-range ids), so end-slab windows are one-sided
+    exactly like morton.window_starts' clipping.
+    """
+    n = x_sorted.shape[0]
+    D = mesh.shape[axis]
+    L = n // D
+    assert n % D == 0 and halo <= L, (n, D, halo)
+
+    def local_knn(x_loc):
+        to_right = [(i, (i + 1) % D) for i in range(D)]
+        to_left = [(i, (i - 1) % D) for i in range(D)]
+        ext = jnp.concatenate([
+            jax.lax.ppermute(x_loc[-halo:], axis, to_right),
+            x_loc,
+            jax.lax.ppermute(x_loc[:halo], axis, to_left)], axis=0)
+        d2 = pairwise_sq_dists(x_loc, ext)               # [L, L+2W]
+        d = jax.lax.axis_index(axis)
+        gids = jnp.arange(L + 2 * halo, dtype=jnp.int32) + (d * L - halo)
+        d2 = jnp.where((gids >= 0) & (gids < n), d2, jnp.inf)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32) + (d * L - halo)    # ext-local → global
+
+    return shard_map(local_knn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=P(axis))(x_sorted)
+
+
+def halo_sharded_egnn_forward(model: EGNN, params, h: Array, x: Array,
+                              nbr_idx: Array, mesh: Mesh,
+                              axis: str = "point") -> tuple[Array, Array]:
+    """Point-sharded EGNN with halo exchange: two ppermutes of [halo, C] per
+    layer instead of an O(N) all-gather — the context-parallel design for
+    curve-sorted clouds (SURVEY §2.5 'halo exchange of neighbor features').
+
+    `model` must be built with `axis_name=axis, halo=W, direction='center'`;
+    inputs are curve-sorted, sharded on `axis`, with `nbr_idx` from
+    `halo_sharded_knn(..., halo=W)` (global indices). ~N/(2·halo)× less ICI
+    traffic than `sharded_egnn_forward` at equal math.
+    """
+    assert model.axis_name == axis and model.halo is not None, \
+        "construct the EGNN with axis_name=axis and halo=W"
+
+    def local_apply(h_loc, x_loc, nbr_loc):
+        return model.apply(params, h_loc, x_loc, nbr_loc)
+
+    return shard_map(
+        local_apply, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )(h, x, nbr_idx)
+
+
 def sharded_egnn_forward(model: EGNN, params, h: Array, x: Array,
                          nbr_idx: Array, mesh: Mesh,
                          axis: str = "point") -> tuple[Array, Array]:

@@ -205,3 +205,85 @@ def test_distributed_layer_single_process(rng):
         for b in loader:
             seen.extend(int(v) for v in b[0][:, 0, 0])
     assert sorted(seen) == list(range(32))
+
+
+def test_halo_sharded_forward_matches_unsharded(rng):
+    """Halo-exchange point sharding (O(halo) ICI traffic instead of the
+    O(N) all-gather): curve-sort the cloud, build the halo-window graph,
+    run the halo slab EGNN — outputs must match the UNSHARDED EGNN applied
+    to the identical graph."""
+    import jax.numpy as jnp
+
+    from se3_equi_graph_registration_tpu.models import EGNN
+    from se3_equi_graph_registration_tpu.ops import knn, morton
+    from se3_equi_graph_registration_tpu.parallel import (
+        halo_sharded_egnn_forward, halo_sharded_knn, make_mesh)
+
+    mesh = make_mesh({"point": 8}, jax.devices()[:8])
+    n, k, c, W = 1024, 8, 16, 128
+    x = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    perm = morton.morton_perm(x)
+    x = jnp.take_along_axis(x, perm[..., None], axis=0)
+    h = jnp.take_along_axis(h, perm[..., None], axis=0)
+
+    nbr = halo_sharded_knn(x, k, mesh, halo=W)
+    nbr_np = np.asarray(nbr)
+    L = n // 8
+    # every neighbor within +-W of its slab (the EGNN halo contract)
+    rows = np.arange(n)
+    slab_lo = (rows // L) * L - W
+    slab_hi = (rows // L + 1) * L + W
+    assert np.all(nbr_np >= slab_lo[:, None])
+    assert np.all(nbr_np < slab_hi[:, None])
+    # self-loop present
+    assert all(i in nbr_np[i] for i in range(0, n, 97))
+
+    base = EGNN(in_node_nf=c)
+    params = base.init(jax.random.PRNGKey(0), h[:256], x[:256],
+                       knn.knn_graph(x[:256], k))
+    halo_model = EGNN(in_node_nf=c, axis_name="point", halo=W)
+    h2, x2 = halo_sharded_egnn_forward(halo_model, params, h, x, nbr, mesh)
+    h_ref, x_ref = base.apply(params, h, x, jnp.asarray(nbr))
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref), atol=5e-4)
+
+
+def test_halo_sharded_gradients_flow(rng):
+    """The halo forward is differentiable: ppermute transposes to the
+    inverse ppermute; grads match the unsharded EGNN's."""
+    import jax.numpy as jnp
+
+    from se3_equi_graph_registration_tpu.models import EGNN
+    from se3_equi_graph_registration_tpu.ops import knn, morton
+    from se3_equi_graph_registration_tpu.parallel import (
+        halo_sharded_egnn_forward, halo_sharded_knn, make_mesh)
+
+    mesh = make_mesh({"point": 4}, jax.devices()[:4])
+    n, k, c, W = 256, 8, 8, 64
+    x = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    perm = morton.morton_perm(x)
+    x = jnp.take_along_axis(x, perm[..., None], axis=0)
+    h = jnp.take_along_axis(h, perm[..., None], axis=0)
+    nbr = halo_sharded_knn(x, k, mesh, halo=W)
+
+    base = EGNN(in_node_nf=c, n_layers=2)
+    params = base.init(jax.random.PRNGKey(0), h[:64], x[:64],
+                       knn.knn_graph(x[:64], k))
+    halo_model = EGNN(in_node_nf=c, n_layers=2, axis_name="point", halo=W)
+
+    def loss_halo(p):
+        h2, x2 = halo_sharded_egnn_forward(halo_model, p, h, x, nbr, mesh)
+        return jnp.sum(h2 ** 2) + jnp.sum(x2 ** 2)
+
+    def loss_ref(p):
+        h2, x2 = base.apply(p, h, x, jnp.asarray(nbr))
+        return jnp.sum(h2 ** 2) + jnp.sum(x2 ** 2)
+
+    g_halo = jax.grad(loss_halo)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-3),
+        g_halo, g_ref)
