@@ -96,12 +96,71 @@ def sharded_egnn_forward_batched(model: EGNN, params, h: Array, x: Array,
     )(params, h, x, nbr_idx)
 
 
+def halo_sharded_knn_batched(x_sorted: Array, k: int, mesh: Mesh, halo: int,
+                             data_axis: str | None = "data",
+                             point_axis: str = "point") -> Array:
+    """Batched halo k-NN: x_sorted [B, N, 3] (each cloud curve-sorted),
+    sharded P(data_axis, point_axis). Same contract as halo_sharded_knn per
+    cloud; two ppermutes of the [B_loc, halo, 3] boundary blocks replace the
+    per-cloud all-gather."""
+    n = x_sorted.shape[1]
+    D = mesh.shape[point_axis]
+    L = n // D
+    assert n % D == 0 and halo <= L, (n, D, halo)
+
+    def local_knn(x_loc):                                # [B_loc, L, 3]
+        to_right = [(i, (i + 1) % D) for i in range(D)]
+        to_left = [(i, (i - 1) % D) for i in range(D)]
+        ext = jnp.concatenate([
+            jax.lax.ppermute(x_loc[:, -halo:], point_axis, to_right),
+            x_loc,
+            jax.lax.ppermute(x_loc[:, :halo], point_axis, to_left)], axis=1)
+        d2 = jax.vmap(pairwise_sq_dists)(x_loc, ext)     # [B_loc, L, L+2W]
+        d = jax.lax.axis_index(point_axis)
+        gids = jnp.arange(L + 2 * halo, dtype=jnp.int32) + (d * L - halo)
+        d2 = jnp.where((gids >= 0) & (gids < n), d2, jnp.inf)
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32) + (d * L - halo)
+
+    spec = P(data_axis, point_axis)
+    return shard_map(local_knn, mesh=mesh, in_specs=(spec,),
+                     out_specs=spec)(x_sorted)
+
+
+def halo_sharded_egnn_forward_batched(model: EGNN, params, h: Array,
+                                      x: Array, nbr_idx: Array, mesh: Mesh,
+                                      data_axis: str | None = "data",
+                                      point_axis: str = "point"):
+    """Batched halo EGNN: inputs [B, N, ·] curve-sorted and sharded
+    P(data_axis, point_axis); `model` built with axis_name=point_axis and
+    halo=W. The per-element vmap rides inside shard_map, so the boundary
+    ppermutes batch over B_loc."""
+    assert model.axis_name == point_axis and model.halo is not None
+
+    def local_apply(params, h_loc, x_loc, nbr_loc):
+        one = lambda hh, xx, nn: model.apply(params, hh, xx, nn)
+        return jax.vmap(one)(h_loc, x_loc, nbr_loc)
+
+    spec = P(data_axis, point_axis)
+    return shard_map(local_apply, mesh=mesh,
+                     in_specs=(P(), spec, spec, spec),
+                     out_specs=(spec, spec))(params, h, x, nbr_idx)
+
+
 def make_point_sharded_train_step(model, optimizer, cfg, mesh: Mesh,
                                   data_axis: str | None = "data",
-                                  point_axis: str = "point"):
+                                  point_axis: str = "point",
+                                  halo: int | None = None):
     """Training step with the pair-batch sharded over `data_axis` AND the
     point axis sharded over `point_axis` — the sequence-parallel analog the
     reference cannot express (SURVEY.md §2.5), now for the BACKWARD too.
+
+    halo: switch the embedding stage to the halo-exchange regime — clouds
+    are curve-sorted (ops/morton.sort_by_curve), the graph comes from
+    halo_sharded_knn_batched, and each EGCL layer ppermutes only the ±halo
+    boundary rows (O(halo) ICI traffic instead of the per-layer all-gather).
+    The graph is then the slab-window approximation, like the single-chip
+    fast path's Hilbert window.
 
     The EGNN embedding stage runs under shard_map in slab mode (activation
     memory per device scales as N/d_point); the scoring/Kabsch head and the
@@ -126,20 +185,26 @@ def make_point_sharded_train_step(model, optimizer, cfg, mesh: Mesh,
         in_node_nf=model.in_node_nf, hidden_nf=model.hidden_nf,
         out_node_nf=model.hidden_nf, edge_attr_dim=model.edge_attr_dim,
         n_layers=model.n_layers, num_heads=model.num_heads,
-        direction="center", so3_mode=model.so3_mode, axis_name=point_axis)
+        direction="center", so3_mode=model.so3_mode, axis_name=point_axis,
+        halo=halo)
+
+    def embed(params, h, x):
+        if halo is None:
+            nbr = sharded_knn_batched(x, cfg.k, mesh, data_axis, point_axis)
+            return sharded_egnn_forward_batched(
+                egnn_slab, params, h, x, nbr, mesh, data_axis, point_axis)
+        from ..ops import morton
+        hs, xs, perm = morton.sort_by_curve(h, x, cfg.curve)
+        nbr = halo_sharded_knn_batched(xs, cfg.k, mesh, halo,
+                                       data_axis, point_axis)
+        h2, x2 = halo_sharded_egnn_forward_batched(
+            egnn_slab, params, hs, xs, nbr, mesh, data_axis, point_axis)
+        return morton.unsort_rows((h2, x2), perm)
 
     def loss_fn(params, batch):
-        nbr_src = sharded_knn_batched(batch["src_pts"], cfg.k, mesh,
-                                      data_axis, point_axis)
-        nbr_tgt = sharded_knn_batched(batch["tgt_pts"], cfg.k, mesh,
-                                      data_axis, point_axis)
         egnn_params = {"params": params["params"]["egnn"]}
-        h_s, x_s = sharded_egnn_forward_batched(
-            egnn_slab, egnn_params, batch["src_feat"], batch["src_pts"],
-            nbr_src, mesh, data_axis, point_axis)
-        h_t, x_t = sharded_egnn_forward_batched(
-            egnn_slab, egnn_params, batch["tgt_feat"], batch["tgt_pts"],
-            nbr_tgt, mesh, data_axis, point_axis)
+        h_s, x_s = embed(egnn_params, batch["src_feat"], batch["src_pts"])
+        h_t, x_t = embed(egnn_params, batch["tgt_feat"], batch["tgt_pts"])
         out = model.apply(
             params, batch["src_feat"], batch["tgt_feat"],
             batch["src_pts"], batch["tgt_pts"],

@@ -287,3 +287,65 @@ def test_halo_sharded_gradients_flow(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-3),
         g_halo, g_ref)
+
+
+def test_halo_train_step_matches_unsharded_twin(rng):
+    """Halo-mode 2-axis training step: gradients + Adam update must equal an
+    UNSHARDED twin that replicates its exact computation (sort -> same halo
+    graph -> EGNN -> unsort -> head -> losses)."""
+    import jax.numpy as jnp
+
+    from se3_equi_graph_registration_tpu.models import EGNN
+    from se3_equi_graph_registration_tpu.ops import morton
+    from se3_equi_graph_registration_tpu.parallel import (
+        halo_sharded_knn_batched, make_mesh, make_point_sharded_train_step,
+        shard_points_batch)
+    from se3_equi_graph_registration_tpu.train import losses as losses_lib
+
+    W = 32
+    cfg = engine.EngineConfig(num_nodes=128, k=8, in_node_nf=16, hidden_nf=32,
+                              top_k=32)
+    model = engine.build_model(cfg)
+    opt = engine.build_optimizer(cfg)
+    batch_np = make_pair_batch(rng, batch=4, n=128, feat_dim=16)
+    batch = engine.batch_to_device(
+        (batch_np.corr, batch_np.labels, batch_np.src_pts, batch_np.tgt_pts,
+         batch_np.src_feat, batch_np.tgt_feat, batch_np.gt_pose))
+
+    mesh = make_mesh({"data": 2, "point": 4}, jax.devices()[:8])
+    state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    ps_step = make_point_sharded_train_step(model, opt, cfg, mesh, halo=W)
+    state_ps, m_ps = ps_step(state, shard_points_batch(batch, mesh))
+    assert np.isfinite(float(m_ps["total"]))
+
+    # unsharded twin on the SAME halo graphs
+    def twin_embed(params, h, x):
+        hs, xs, perm = morton.sort_by_curve(h, x, cfg.curve)
+        nbr = halo_sharded_knn_batched(xs, cfg.k, mesh, W)
+        base = EGNN(in_node_nf=cfg.in_node_nf, hidden_nf=cfg.hidden_nf,
+                    out_node_nf=cfg.hidden_nf, n_layers=cfg.n_layers,
+                    num_heads=cfg.num_heads, direction="center")
+        h2, x2 = base.apply(params, hs, xs, jnp.asarray(nbr))
+        return morton.unsort_rows((h2, x2), perm)
+
+    def twin_loss(params, batch):
+        ep = {"params": params["params"]["egnn"]}
+        h_s, x_s = twin_embed(ep, batch["src_feat"], batch["src_pts"])
+        h_t, x_t = twin_embed(ep, batch["tgt_feat"], batch["tgt_pts"])
+        out = model.apply(params, batch["src_feat"], batch["tgt_feat"],
+                          batch["src_pts"], batch["tgt_pts"],
+                          h_s, x_s, h_t, x_t, batch["labels"],
+                          method="head_from_embeddings")
+        return losses_lib.total_loss(out, batch["gt_pose"],
+                                     batch["labels"], cfg.loss_weights).total
+
+    import optax
+    state0 = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), batch)
+    grads = jax.grad(twin_loss)(state0.params, batch)
+    updates, _ = opt.update(grads, state0.opt_state, state0.params)
+    twin_params = optax.apply_updates(state0.params, updates)
+
+    for a, b in zip(jax.tree_util.tree_leaves(twin_params),
+                    jax.tree_util.tree_leaves(state_ps.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
