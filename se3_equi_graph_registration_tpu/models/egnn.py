@@ -89,6 +89,23 @@ class MultiHeadEdgeMLP(nn.Module):
         return y.reshape(y.shape[:-2] + (self.hidden_nf,))
 
 
+def halo_extend(a: Array, axis_name: str, halo: int) -> Array:
+    """Extend a point-sharded slab with its neighbors' ±halo boundary rows
+    via two ppermutes: [..., L, C] → [..., L + 2·halo, C] (rows along axis
+    -2). THE one definition of the halo boundary exchange — used by the EGCL
+    halo branch and parallel/point_sharding's halo k-NN builders; end slabs
+    receive wraparound rows that callers must mask or never index."""
+    D = jax.lax.axis_size(axis_name)
+    to_right = [(i, (i + 1) % D) for i in range(D)]
+    to_left = [(i, (i - 1) % D) for i in range(D)]
+    take = lambda sl: a[..., sl, :]
+    return jnp.concatenate([
+        jax.lax.ppermute(take(slice(-halo, None)), axis_name, to_right),
+        a,
+        jax.lax.ppermute(take(slice(None, halo)), axis_name, to_left),
+    ], axis=-2)
+
+
 class EGCL(nn.Module):
     """One equivariant graph convolution layer (reference E_GCL, :185-289)."""
     input_nf: int
@@ -128,17 +145,11 @@ class EGCL(nn.Module):
                 # no valid index can reference (local ids stay in
                 # [halo - ·, halo + n_loc + ·) by the graph contract).
                 W = self.halo
-                D = jax.lax.axis_size(self.axis_name)
                 d = jax.lax.axis_index(self.axis_name)
                 n_loc = h.shape[0]
                 assert W <= n_loc, (W, n_loc)
-                to_right = [(i, (i + 1) % D) for i in range(D)]
-                to_left = [(i, (i - 1) % D) for i in range(D)]
-                ext = lambda a: jnp.concatenate([
-                    jax.lax.ppermute(a[-W:], self.axis_name, to_right),
-                    a,
-                    jax.lax.ppermute(a[:W], self.axis_name, to_left)], axis=0)
-                h_full, x_full = ext(h), ext(x)
+                h_full = halo_extend(h, self.axis_name, W)
+                x_full = halo_extend(x, self.axis_name, W)
                 # global neighbor ids → extended-table-local
                 nbr_idx = nbr_idx - (d * n_loc - W)
             else:

@@ -103,18 +103,15 @@ def halo_sharded_knn_batched(x_sorted: Array, k: int, mesh: Mesh, halo: int,
     sharded P(data_axis, point_axis). Same contract as halo_sharded_knn per
     cloud; two ppermutes of the [B_loc, halo, 3] boundary blocks replace the
     per-cloud all-gather."""
+    from ..models.egnn import halo_extend
+
     n = x_sorted.shape[1]
     D = mesh.shape[point_axis]
     L = n // D
     assert n % D == 0 and halo <= L, (n, D, halo)
 
     def local_knn(x_loc):                                # [B_loc, L, 3]
-        to_right = [(i, (i + 1) % D) for i in range(D)]
-        to_left = [(i, (i - 1) % D) for i in range(D)]
-        ext = jnp.concatenate([
-            jax.lax.ppermute(x_loc[:, -halo:], point_axis, to_right),
-            x_loc,
-            jax.lax.ppermute(x_loc[:, :halo], point_axis, to_left)], axis=1)
+        ext = halo_extend(x_loc, point_axis, halo)       # [B_loc, L+2W, 3]
         d2 = jax.vmap(pairwise_sq_dists)(x_loc, ext)     # [B_loc, L, L+2W]
         d = jax.lax.axis_index(point_axis)
         gids = jnp.arange(L + 2 * halo, dtype=jnp.int32) + (d * L - halo)
@@ -254,30 +251,14 @@ def halo_sharded_knn(x_sorted: Array, k: int, mesh: Mesh, halo: int,
     lies within ±halo of its slab, the contract `EGNN(halo=...)` gathers
     under. End slabs receive wraparound rows from the far end of the curve —
     those are MASKED out of the selection (they can and do win k-NN contests
-    otherwise, producing out-of-range ids), so end-slab windows are one-sided
-    exactly like morton.window_starts' clipping.
+    otherwise, producing out-of-range ids), so the curve's end slabs see a
+    ONE-SIDED, narrower candidate set (L + halo rows). Note this differs
+    from the single-chip window path: morton.window_starts shifts a
+    full-width window inward at the ends, so halo end slabs have slightly
+    fewer candidates (and marginally lower edge recall) than it.
     """
-    n = x_sorted.shape[0]
-    D = mesh.shape[axis]
-    L = n // D
-    assert n % D == 0 and halo <= L, (n, D, halo)
-
-    def local_knn(x_loc):
-        to_right = [(i, (i + 1) % D) for i in range(D)]
-        to_left = [(i, (i - 1) % D) for i in range(D)]
-        ext = jnp.concatenate([
-            jax.lax.ppermute(x_loc[-halo:], axis, to_right),
-            x_loc,
-            jax.lax.ppermute(x_loc[:halo], axis, to_left)], axis=0)
-        d2 = pairwise_sq_dists(x_loc, ext)               # [L, L+2W]
-        d = jax.lax.axis_index(axis)
-        gids = jnp.arange(L + 2 * halo, dtype=jnp.int32) + (d * L - halo)
-        d2 = jnp.where((gids >= 0) & (gids < n), d2, jnp.inf)
-        _, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32) + (d * L - halo)    # ext-local → global
-
-    return shard_map(local_knn, mesh=mesh, in_specs=(P(axis),),
-                     out_specs=P(axis))(x_sorted)
+    return halo_sharded_knn_batched(x_sorted[None], k, mesh, halo,
+                                    data_axis=None, point_axis=axis)[0]
 
 
 def halo_sharded_egnn_forward(model: EGNN, params, h: Array, x: Array,

@@ -114,8 +114,10 @@ def convert_reference_egnn(path: str, **kw) -> dict:
 
 
 def _rt(k) -> "np.ndarray":
-    """flax [in, out] kernel → torch [out, in] weight."""
-    return np.ascontiguousarray(np.asarray(k).T)
+    """flax [in, out] kernel → torch [out, in] weight (fp32 — the reference
+    schema is fp32, and torch can't ingest ml_dtypes.bfloat16 arrays from
+    `bf16_params=True` checkpoints)."""
+    return np.ascontiguousarray(np.asarray(k, dtype=np.float32).T)
 
 
 def _export_egnn_sd(tree: dict, prefix: str = "", n_layers: int = 3,
@@ -205,9 +207,16 @@ def export_reference_checkpoint(params: dict, path: str, epoch: int = 0,
         ca[bn + ".num_batches_tracked"] = np.asarray(0, np.int64)
 
     # copy: jax buffers surface as non-writable numpy views, which torch
-    # rejects with a UserWarning
-    to_torch = lambda sd: {k: torch.from_numpy(np.array(v, copy=True))
-                           for k, v in sd.items()}
+    # rejects with a UserWarning; fp32-cast floats (bf16_params checkpoints
+    # carry ml_dtypes.bfloat16, which torch can't convert)
+    def _to(v):
+        a = np.asarray(v)
+        # jnp.issubdtype is ml_dtypes-aware (np kind for bfloat16 is not 'f')
+        if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != np.float32:
+            a = a.astype(np.float32)
+        return torch.from_numpy(np.array(a, copy=True))
+
+    to_torch = lambda sd: {k: _to(v) for k, v in sd.items()}
     n_params = sum(1 for k in ca
                    if not k.endswith(("running_mean", "running_var",
                                       "num_batches_tracked")))

@@ -174,11 +174,25 @@ def cmd_export(cfg: ExperimentConfig, args) -> None:
                          "--out <file.pth>")
     ecfg = cfg.engine
     model = engine.build_model(ecfg)
-    opt = engine.build_optimizer(ecfg, steps_per_epoch=1)
-    batches_fn = _loader(cfg, "test", shuffle=False)
-    first = engine.batch_to_device(next(iter(batches_fn())))
-    template = engine.init_state(model, opt, ecfg, jax.random.PRNGKey(0),
-                                 first)
+    template = None
+    if not args.checkpoint.endswith(".pth"):
+        # orbax restore needs a template state; only parameter SHAPES matter,
+        # so build it from zeros at the config's shapes (no dataset required
+        # — export must work without data.root on disk)
+        import numpy as _np
+
+        opt = engine.build_optimizer(ecfg, steps_per_epoch=1)
+        n, c = ecfg.num_nodes, ecfg.in_node_nf
+        zero_batch = {
+            "labels": _np.zeros((1, n), _np.float32),
+            "src_pts": _np.zeros((1, n, 3), _np.float32),
+            "tgt_pts": _np.zeros((1, n, 3), _np.float32),
+            "src_feat": _np.zeros((1, n, c), _np.float32),
+            "tgt_feat": _np.zeros((1, n, c), _np.float32),
+            "gt_pose": _np.tile(_np.eye(4, dtype=_np.float32), (1, 1, 1)),
+        }
+        template = engine.init_state(model, opt, ecfg, jax.random.PRNGKey(0),
+                                     zero_batch)
     params = _load_params(args.checkpoint, cfg, model, template)
     export_reference_checkpoint(
         params, args.out, epoch=args.epoch, n_layers=ecfg.n_layers,

@@ -136,12 +136,14 @@ def build_optimizer(cfg: EngineConfig,
                     steps_per_epoch: Optional[int] = None) -> optax.GradientTransformation:
     """Adam + step decay — reference Adam(lr) + StepLR(200, 0.5) (:1412-1413)."""
     opt = optax.adam(lr_schedule(cfg, steps_per_epoch))
-    if cfg.grad_accum_steps > 1:
-        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     if cfg.bf16_params:
-        # outermost: the emitted updates are bf16 deltas vs the live params
+        # INSIDE MultiSteps: accumulation micro-steps must be true no-ops —
+        # SR outside would re-dither every weight by up to 1 ulp per
+        # micro-step even when the inner update is zero
         from ..utils.bf16_training import bf16_sr_optimizer
         opt = bf16_sr_optimizer(opt)
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt
 
 
@@ -304,12 +306,15 @@ def init_state(model: RegistrationModel, optimizer, cfg: EngineConfig,
         rng_key, example_batch["src_feat"], example_batch["src_pts"], nbr,
         example_batch["tgt_feat"], example_batch["tgt_pts"], nbr,
         example_batch["labels"])
+    # init the optimizer BEFORE any bf16 cast so the SR master keeps the
+    # full fp32 initialization precision
+    opt_state = optimizer.init(params)
     if cfg.bf16_params:
         # live params in bf16; the SR optimizer keeps the fp32 master
         params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
             if p.dtype == jnp.float32 else p, params)
-    return TrainState(params=params, opt_state=optimizer.init(params),
+    return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
 
 
