@@ -122,9 +122,24 @@ def cmd_train(cfg: ExperimentConfig, args) -> None:
             print(f"resumed from step {step}")
 
     mesh = None
-    if cfg.run.data_parallel and len(jax.devices()) > 1:
+    train_step = None
+    n_dev = len(jax.devices())
+    pp = cfg.run.point_parallel
+    if pp > 1:
+        # 2-axis (data x point) mesh: the sequence-parallel analog for dense
+        # clouds (parallel/point_sharding.py); halo>0 picks the O(halo)
+        # boundary-exchange comm regime
         from ..parallel.distributed import global_mesh
-        n_dev = len(jax.devices())
+        from ..parallel.point_sharding import make_point_sharded_train_step
+        assert n_dev % pp == 0 and ecfg.num_nodes % pp == 0, (n_dev, pp)
+        mesh = global_mesh({"data": n_dev // pp, "point": pp},
+                           dcn_axis="data")
+        train_step = make_point_sharded_train_step(
+            model, opt, ecfg, mesh, halo=cfg.run.halo or None)
+        print(f"2-axis mesh: data={n_dev // pp} x point={pp}"
+              + (f", halo={cfg.run.halo}" if cfg.run.halo else ""))
+    elif cfg.run.data_parallel and n_dev > 1:
+        from ..parallel.distributed import global_mesh
         if cfg.data.batch_size % n_dev == 0:
             # data axis crosses hosts over DCN when this is a multi-process
             # run; pure ICI mesh otherwise
@@ -137,7 +152,8 @@ def cmd_train(cfg: ExperimentConfig, args) -> None:
         model, opt, ecfg, state, train_batches=train_batches,
         epochs=cfg.run.epochs, val_batches=val_batches, checkpointer=ckpt,
         checkpoint_every=cfg.run.checkpoint_every,
-        logger=_jsonl_logger(cfg.run.log_path), mesh=mesh)
+        logger=_jsonl_logger(cfg.run.log_path), mesh=mesh,
+        train_step=train_step)
     ckpt.save(int(state.step), state)
     print(f"done; final checkpoint at step {int(state.step)}")
 

@@ -36,6 +36,11 @@ class RunConfig:
     eval_output: str = "./output/evaluation_results.txt"
     resume: bool = False
     data_parallel: bool = True        # shard the pair batch over all devices
+    point_parallel: int = 0           # >1: shard the POINT axis over this
+                                      # many devices too (2-axis data x point
+                                      # mesh, parallel/point_sharding.py)
+    halo: int = 0                     # >0 with point_parallel: halo-exchange
+                                      # comm regime (O(halo) ICI traffic)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -334,7 +334,8 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
         val_batches: Optional[Callable[[], Iterable]] = None,
         checkpointer=None, checkpoint_every: int = 20,
         logger: Optional[Callable[[int, dict], None]] = None,
-        mesh=None, profile_dir: Optional[str] = None) -> TrainState:
+        mesh=None, profile_dir: Optional[str] = None,
+        train_step=None) -> TrainState:
     """Epoch loop with correct loss averaging (the reference's running-total
     accumulation is buggy — SURVEY.md §7 'defects not to replicate'), periodic
     + best-val checkpointing (:1435-1441 semantics).
@@ -349,11 +350,20 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
     from ..parallel.distributed import host_local_to_global
     from ..parallel.mesh import shard_pair_batch
 
-    if mesh is not None and jax.process_count() > 1:
+    if mesh is not None and "point" in getattr(mesh, "axis_names", ()):
+        # 2-axis (data x point) mesh: batches shard on both axes and the
+        # caller supplies the point-sharded step
+        from ..parallel.point_sharding import shard_points_batch
+        shard_pair_batch = shard_points_batch
+        assert train_step is not None, \
+            "pass train_step=make_point_sharded_train_step(...) with a " \
+            "point-axis mesh"
+    elif mesh is not None and jax.process_count() > 1:
         # multi-host: every process feeds its LOCAL slice of the global batch
         shard_pair_batch = host_local_to_global
 
-    train_step = make_train_step(model, optimizer, cfg)
+    if train_step is None:
+        train_step = make_train_step(model, optimizer, cfg)
     eval_model = build_model(cfg, head_mode="train")
     eval_step = make_eval_step(eval_model, cfg)
 

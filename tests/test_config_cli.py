@@ -123,3 +123,25 @@ def test_cli_export_roundtrip(tmp_path):
     assert ck["epoch"] == 7
     assert set(ck) >= {"egnn_state_dict", "cross_attention_state_dict",
                        "optimizer_state_dict"}
+
+
+def test_cli_train_point_parallel(tmp_path):
+    """`--set run.point_parallel=4 run.halo=16`: the CLI trains on a 2-axis
+    (data x point) mesh with the halo-exchange step."""
+    import jax
+
+    from se3_equi_graph_registration_tpu.train import cli
+
+    cli.main([
+        "train", "--preset", "synthetic",
+        "--set", "run.epochs=1", "run.point_parallel=4", "run.halo=16",
+        "engine.num_nodes=128", "engine.k=8", "engine.top_k=32",
+        "engine.hidden_nf=32", "data.batch_size=4",
+        f"run.checkpoint_dir={tmp_path}/ckpt",
+        f"run.log_path={tmp_path}/log.jsonl",
+    ])
+    import json
+    rows = [json.loads(l) for l in open(f"{tmp_path}/log.jsonl")]
+    assert rows and "total" in rows[-1]
+    import numpy as np
+    assert np.isfinite(rows[-1]["total"])
