@@ -90,6 +90,14 @@ class ThreeDMatchPairDataset:
     augment_rotation: float = 1.4
     augment_translation: float = 0.1
     seed: int = 0
+    legacy_sampling_rng: bool = False  # reference-stream sampling parity: use
+                                       # a per-item np.random.RandomState(seed
+                                       # + index) — the sampler's choice-call
+                                       # sequence mirrors the reference's
+                                       # (ThreeDMatch.py:681-706), so seeding
+                                       # the reference's GLOBAL np.random with
+                                       # seed+index yields IDENTICAL sampled
+                                       # indices (pipeline-parity harness)
     _files: list = field(default_factory=list, init=False, repr=False)
 
     def __post_init__(self):
@@ -118,11 +126,13 @@ class ThreeDMatchPairDataset:
 
     def __getitem__(self, index: int):
         d = self.load_raw(index)
+        rng = (np.random.RandomState(self.seed + index)
+               if self.legacy_sampling_rng else self._rng)
         pair = sample_pair(
             d["src_pts"], d["tgt_pts"], d["src_feat"], d["tgt_feat"],
             d["corr"], d["labels"], d["gt_pose"],
             sample_size=self.num_node, pos_fraction=self._pos_fraction,
-            rng=self._rng)
+            rng=rng)
 
         if self.synthetic_pose:
             pair = self._synthetic_pose_augment(pair)

@@ -56,9 +56,13 @@ def _aggregate(messages: Array, nbr_idx: Array, direction: str,
     flat = messages.reshape(b * n * k, c)
     out = jax.ops.segment_sum(flat, ids, num_segments=b * num_nodes)
     if reduce == "mean":
-        cnt = jax.ops.segment_sum(
-            jnp.ones((b * n * k,), dtype=messages.dtype), ids, num_segments=b * num_nodes
-        )
+        # Count only REAL edges when a mask is present — the reference's
+        # unsorted_segment_mean divides by the number of contributing edges
+        # (src/3dmatch_train_egnn_with_batch.py:351-358); counting masked-out
+        # (zeroed) messages would bias the mean low on padded graphs.
+        ones = (jnp.ones((b * n * k,), dtype=messages.dtype) if mask is None
+                else mask.reshape(b * n * k).astype(messages.dtype))
+        cnt = jax.ops.segment_sum(ones, ids, num_segments=b * num_nodes)
         out = out / jnp.maximum(cnt, 1.0)[:, None]
     return out.reshape(b, num_nodes, c)
 
@@ -196,7 +200,13 @@ class EGCL(nn.Module):
         )(scale)
         trans = geom.rel * scale
         if self.axis_name is not None:
-            x = x + kregular_sum(trans, edge_mask)
+            # Slab/halo mode aggregates onto local centers with the k-regular
+            # reductions; honor coords_agg so a mean-agg model (CleanEGNN
+            # semantics) keeps its behavior when point-sharded. Node
+            # aggregation is always a sum (reference node_model :252-260).
+            coord_reduce = (kregular_mean if self.coords_agg == "mean"
+                            else kregular_sum)
+            x = x + coord_reduce(trans, edge_mask)
             agg = kregular_sum(m, edge_mask)
         else:
             x = x + _aggregate(trans, nbr_idx, self.direction, n, edge_mask,

@@ -148,7 +148,7 @@ def sort_by_curve(h: Array, x: Array, curve: str = "hilbert"):
     iota = jnp.broadcast_to(
         jnp.arange(x.shape[-2], dtype=jnp.int32), codes.shape)
     cols = ((codes,) + tuple(x[..., j] for j in range(x.shape[-1])) + (iota,))
-    if len(cols) + h.shape[-1] <= _MAX_SORT_OPERANDS:
+    if 1 <= h.shape[-1] and len(cols) + h.shape[-1] <= _MAX_SORT_OPERANDS:
         cols = cols[:-1] + tuple(
             h[..., j] for j in range(h.shape[-1])) + (iota,)
         out = jax.lax.sort(cols, dimension=-1, num_keys=1)

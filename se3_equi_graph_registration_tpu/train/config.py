@@ -25,6 +25,8 @@ class DataConfig:
     batch_size: int = 8               # reference default (argparse :1541)
     num_workers: int = 4
     seed: int = 0
+    legacy_sampling_rng: bool = False  # reference-stream per-item sampling
+                                       # (pipeline-parity harness; 3dmatch)
 
 
 @dataclasses.dataclass(frozen=True)

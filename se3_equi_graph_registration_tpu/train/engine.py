@@ -92,11 +92,19 @@ class EngineConfig:
     weight_mode: str = "dot"        # Kabsch weight scores: 'dot' (reference
                                     # parity; softmax can saturate) | 'cosine'
                                     # (bounded — robust training)
+    fusion_literal: bool = False    # eval_fusion head: reproduce the
+                                    # reference's broadcast accident
+                                    # bit-faithfully (models/pose_head.py)
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
                                     # rounding updates + fp32 master in the
                                     # optimizer state (utils/bf16_training)
+    best_val_metric: str = "loss"   # best-val checkpoint criterion: 'loss'
+                                    # (reference parity — lowest total
+                                    # validation loss, 3dmatch driver
+                                    # :1435-1437) | 'rot_err_deg' (select by
+                                    # validation rotation error instead)
 
 
 def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationModel:
@@ -107,7 +115,7 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         head_mode=head_mode, egnn_impl=cfg.egnn_impl,
         kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method,
         egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet,
-        weight_mode=cfg.weight_mode)
+        weight_mode=cfg.weight_mode, fusion_literal=cfg.fusion_literal)
 
 
 def lr_schedule(cfg: EngineConfig,
@@ -277,12 +285,16 @@ def make_train_step(model: RegistrationModel, optimizer, cfg: EngineConfig):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_step(model: RegistrationModel, cfg: EngineConfig):
+def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
+                   with_loss: bool = False):
     """Returns jitted (params, batch) -> per-pair metric arrays.
 
     Matches the eval driver's per-pair metric computation
     (/root/reference/src/eval_egnn_metrics.py:1243-1283): RRE/RTE vs gt_pose,
     registration recall/precision at tau=0.09 on the raw input clouds.
+    `with_loss=True` additionally reports the (batch-mean) total training
+    loss — fit()'s validation pass uses it so the best-val checkpoint can be
+    selected by validation loss like the reference (:1435-1437).
     """
 
     def step(params, batch):
@@ -293,8 +305,13 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig):
         rot_err, trans_err = metrics_lib.calculate_pose_error(batch["gt_pose"], pred)
         recall, precision = metrics_lib.registration_recall(
             pred, batch["src_pts"], batch["tgt_pts"])
-        return {"rot_err_deg": rot_err, "trans_err_cm": trans_err,
-                "recall": recall, "precision": precision}
+        m = {"rot_err_deg": rot_err, "trans_err_cm": trans_err,
+             "recall": recall, "precision": precision}
+        if with_loss:
+            lb = losses_lib.total_loss(out, batch["gt_pose"], batch["labels"],
+                                       cfg.loss_weights)
+            m["loss"] = jnp.broadcast_to(lb.total, rot_err.shape)
+        return m
 
     return jax.jit(step)
 
@@ -354,6 +371,11 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
         # 2-axis (data x point) mesh: batches shard on both axes and the
         # caller supplies the point-sharded step
         from ..parallel.point_sharding import shard_points_batch
+        assert jax.process_count() == 1, (
+            "point-axis sharding currently assumes a single process: "
+            "shard_points_batch device_puts host-local arrays onto the "
+            "global mesh, which is wrong multi-host — compose "
+            "host_local_to_global with the point axis first")
         shard_pair_batch = shard_points_batch
         assert train_step is not None, \
             "pass train_step=make_point_sharded_train_step(...) with a " \
@@ -365,7 +387,8 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
     if train_step is None:
         train_step = make_train_step(model, optimizer, cfg)
     eval_model = build_model(cfg, head_mode="train")
-    eval_step = make_eval_step(eval_model, cfg)
+    eval_step = make_eval_step(eval_model, cfg,
+                               with_loss=cfg.best_val_metric == "loss")
 
     best_val = np.inf
     for epoch in range(epochs):
@@ -396,11 +419,13 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
             val_metrics = {k: float(np.mean(np.concatenate(
                 [np.atleast_1d(v[k]) for v in vals]))) for k in vals[0]} if vals else {}
             train_metrics.update({f"val_{k}": v for k, v in val_metrics.items()})
-            val_score = val_metrics.get("rot_err_deg", np.inf)
+            # Best-val criterion: total validation loss by default, like the
+            # reference driver (:1435-1437); rotation error as an opt-in.
+            val_score = val_metrics.get(cfg.best_val_metric, np.inf)
             if checkpointer is not None and val_score < best_val:
                 best_val = val_score
                 checkpointer.save(int(state.step), state,
-                                  metrics={"val_rot_err_deg": val_score})
+                                  metrics={f"val_{cfg.best_val_metric}": val_score})
 
         if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
             checkpointer.save(int(state.step), state)

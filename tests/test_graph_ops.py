@@ -230,3 +230,20 @@ def test_sort_unsort_gradients_match_autodiff(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
                                atol=1e-6)
+
+
+def test_sort_by_curve_zero_feature_columns(rng):
+    """ADVICE r2: C=0 feature tensors must not crash the ride-the-sort fast
+    path (empty jnp.stack); they route to the gather path."""
+    import jax.numpy as jnp
+
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    x = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
+    h = jnp.zeros((64, 0), jnp.float32)
+    hs, xs, perm = morton.sort_by_curve(h, x)
+    assert hs.shape == (64, 0)
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(xs),
+        np.asarray(jnp.take_along_axis(x, perm[..., None], axis=-2)))
