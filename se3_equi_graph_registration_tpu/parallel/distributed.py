@@ -89,10 +89,16 @@ def global_mesh(axes: Mapping[str, int] | None = None,
         dcn = {k: 1 for k in axes}
         ici[dcn_axis] = axes[dcn_axis] // n_proc
         dcn[dcn_axis] = n_proc
+        # Granule choice: multi-SLICE TPU pods carry distinct slice_index
+        # attributes and group by slice; CPU/GPU clusters and single-slice
+        # multi-host TPUs have one (or no) slice, so the DCN boundary is the
+        # PROCESS (discovered the hard way by the real 2-process test:
+        # slice-granule grouping raises 'Number of slices 1 must equal ...').
+        slices = {getattr(d, "slice_index", None) for d in devices}
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=[ici[k] for k in names],
             dcn_mesh_shape=[dcn[k] for k in names],
-            devices=devices)
+            devices=devices, process_is_granule=len(slices) <= 1)
         return Mesh(dev_array, names)
     dev_array = mesh_utils.create_device_mesh(sizes, devices=devices)
     return Mesh(dev_array, names)
