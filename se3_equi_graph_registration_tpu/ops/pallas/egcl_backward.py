@@ -58,7 +58,8 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
                      dw1hr_ref, dw1hc_ref, dw1g_ref, db1_ref, dw2_ref, db2_ref,
                      dlns_ref, dlnb_ref, dwc0_ref, dbc0_ref, dwc1_ref,
                      *, T: int, E: int, K: int, N: int, C: int,
-                     window: int | None = None, accurate: bool = False):
+                     window: int | None = None, accurate: bool = False,
+                     cast_bf16: bool = False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
@@ -102,22 +103,30 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
         return jax.lax.dot_general(a_, b_, dn, preferred_element_type=f32,
                                    precision=prec)
 
+    # fast compiled mode casts the one-hot/gather operands to bf16 like the
+    # forward kernel — bit-identical on TPU (DEFAULT-precision matmuls round
+    # inputs to bf16 anyway) for ~half the VMEM->MXU operand traffic; the
+    # one-hot's 0/1 values are exact in bf16 on both gather AND scatter sides
+    gdt = jnp.bfloat16 if cast_bf16 else f32
     if window is not None:
         # curve-window gather/scatter — S(i) from the ONE shared definition
-        # (ops/morton.window_start_at)
+        # (ops/morton.window_start_at); h and x stack into ONE fused gather
         from ..morton import window_start_at
         S = window_start_at(i, T, N, window)
         n_ids = jax.lax.broadcasted_iota(jnp.int32, (window, E), 0) + S
-        O = (n_ids == jnp.broadcast_to(nbr, (window, E))).astype(f32)
-        h_col = dot(ht_ref[0, :, pl.ds(S, window)], O)
-        x_col = dot(xt_ref[0, :, pl.ds(S, window)], O)
+        O = (n_ids == jnp.broadcast_to(nbr, (window, E))).astype(gdt)
+        tab = jnp.concatenate([ht_ref[0, :, pl.ds(S, window)],
+                               xt_ref[0, :, pl.ds(S, window)]], axis=0)
+        hx = dot(tab.astype(gdt), O)
+        h_col, x_col = hx[:C], hx[C:]
     else:
         n_ids = jax.lax.broadcasted_iota(jnp.int32, (N, E), 0)
         O = (n_ids == jnp.broadcast_to(nbr, (N, E))).astype(f32)
         h_col = dot(ht_ref[0], O)
         x_col = dot(xt_ref[0], O)
-    h_row = dot(h_tile, Rmat)
-    x_row = dot(x_tile, Rmat)
+    hx_tile = jnp.concatenate([h_tile, x_tile], axis=0)
+    hx_row = dot(hx_tile.astype(gdt), Rmat.astype(gdt))
+    h_row, x_row = hx_row[:C], hx_row[C:]
 
     rel = x_row - x_col
     radial = jnp.sum(rel * rel, axis=0, keepdims=True)
@@ -225,18 +234,22 @@ def _egcl_bwd_kernel(nbr_ref, ht_ref, xt_ref, dlm_ref, dlx_ref,
     dx_row_e = drel + x_col * ddot + dx_row_cr
     dx_col_e = -drel + x_row * ddot + dx_col_cr
 
-    # --- scatter-free accumulation back to nodes ---
+    # --- scatter-free accumulation back to nodes (h and x fused into one
+    # [C+3, ...] matmul per one-hot, mirroring the fused gathers) ---
     # rows (centers of this tile): slice-accumulate into the [C, N] buffer
-    dh_ref[0, :, pl.ds(i * T, T)] += dotT(dh_row, Rmat)
-    dx_ref[0, :, pl.ds(i * T, T)] += dotT(dx_row_e, Rmat)
+    dhx_row = dotT(jnp.concatenate([dh_row, dx_row_e], axis=0).astype(gdt),
+                   Rmat.astype(gdt))
+    dh_ref[0, :, pl.ds(i * T, T)] += dhx_row[:C]
+    dx_ref[0, :, pl.ds(i * T, T)] += dhx_row[C:]
     # cols (neighbors): contract E against the one-hot — window mode only
     # touches the window slice (all of this chunk's neighbors live there)
+    dhx_col = dotT(jnp.concatenate([dh_col, dx_col_e], axis=0).astype(gdt), O)
     if window is not None:
-        dh_ref[0, :, pl.ds(S, window)] += dotT(dh_col, O)
-        dx_ref[0, :, pl.ds(S, window)] += dotT(dx_col_e, O)
+        dh_ref[0, :, pl.ds(S, window)] += dhx_col[:C]
+        dx_ref[0, :, pl.ds(S, window)] += dhx_col[C:]
     else:
-        dh_ref[0] += dotT(dh_col, O)
-        dx_ref[0] += dotT(dx_col_e, O)
+        dh_ref[0] += dhx_col[:C]
+        dx_ref[0] += dhx_col[C:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t", "chunk", "interpret",
@@ -267,7 +280,8 @@ def egcl_backward_pallas(h: Array, x: Array, nbr_idx: Array, params: EGCLParams,
 
     p = params
     kernel = functools.partial(_egcl_bwd_kernel, T=T, E=E, K=k, N=n, C=c_dim,
-                               window=window, accurate=accurate)
+                               window=window, accurate=accurate,
+                               cast_bf16=not accurate and not interpret)
     full = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = [full((bsz, c_dim, n)), full((bsz, 3, n))] + \
         [full(q.shape) for q in (p.w1_hrow, p.w1_hcol, p.w1_geo, p.b1, p.w2,
@@ -383,11 +397,22 @@ def _fused_bwd(tile_t, chunk, interpret, window, accurate, res, cot):
     # coordinate residual: x_out = x + agg_x
     dagg_x = dx_out
 
-    # the backward keeps ~3x more live [*, E] intermediates than the forward;
-    # cap its edge chunk independently so full-tile forward chunks don't OOM
+    # Edge-chunk cap: accurate (3-pass) mode keeps ~3x more live [*, E]
+    # intermediates and OOMs VMEM beyond 256 lanes. Fast WINDOW mode runs the
+    # full tile in one chunk like the forward — its one-hot is only
+    # [window, E] bf16, and measured on v5e the full-tile chunk is ~32%
+    # faster than 512-lane chunks (11.4 -> 7.8 ms/layer-cloud at B=64,
+    # N=2048, W=384: fewer recompute passes per tile). The full-TABLE fast
+    # path keeps 512 — its one-hot is [N, E] and would blow VMEM at 2048.
+    if accurate:
+        bwd_chunk = min(chunk, 256)
+    elif window is not None:
+        bwd_chunk = chunk
+    else:
+        bwd_chunk = min(chunk, 512)
     dh_edge, dx_edge, dparams = egcl_backward_pallas(
         h, x, nbr_idx, params, dagg_m, dagg_x,
-        tile_t=tile_t, chunk=min(chunk, 256 if accurate else 512),
+        tile_t=tile_t, chunk=bwd_chunk,
         interpret=interpret, window=window, accurate=accurate)
 
     dh = dh_node + dh_edge
