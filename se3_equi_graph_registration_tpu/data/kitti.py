@@ -49,6 +49,9 @@ class KITTIPairDataset:
     num_node: int = 2048
     inlier_threshold: float = 0.60
     seed: int = 0
+    legacy_sampling_rng: bool = False  # reference-stream per-item sampling
+                                       # (see data/threedmatch.py — same
+                                       # RandomState(seed+index) convention)
     _files: list = field(default_factory=list, init=False, repr=False)
 
     def __post_init__(self):
@@ -71,18 +74,23 @@ class KITTIPairDataset:
             d["tgt_feat"] = _l2_normalize_rows(d["tgt_feat"])
         return d
 
+    def _item_rng(self, index: int):
+        return (np.random.RandomState(self.seed + index)
+                if self.legacy_sampling_rng else self._rng)
+
     def __getitem__(self, index: int):
         d = self.load_raw(index)
         if self.split == "test":
-            return self._test_item(d)
+            return self._test_item(d, self._item_rng(index))
         pair = sample_pair(
             d["src_pts"], d["tgt_pts"], d["src_feat"], d["tgt_feat"],
             d["corr"], d["labels"], d["gt_pose"],
-            sample_size=self.num_node, pos_fraction=0.70, rng=self._rng)
+            sample_size=self.num_node, pos_fraction=0.70,
+            rng=self._item_rng(index))
         return (pair.corr, pair.labels, pair.src_pts, pair.tgt_pts,
                 pair.src_feat, pair.tgt_feat, pair.gt_pose)
 
-    def _test_item(self, d: dict):
+    def _test_item(self, d: dict, rng):
         """Inlier-only sampling (KITTI.py:499-535): gather the target side
         through corr[:,1], keep label==1 rows, draw exactly num_node."""
         labels = np.asarray(d["labels"]).reshape(-1)
@@ -95,7 +103,7 @@ class KITTIPairDataset:
         if len(valid) == 0:
             valid = np.arange(len(labels))
         replace = len(valid) < self.num_node
-        pick = self._rng.choice(valid, self.num_node, replace=replace)
+        pick = rng.choice(valid, self.num_node, replace=replace)
 
         return (remap_correspondences(corr[pick]).astype(np.float32),
                 labels[pick].astype(np.float32),

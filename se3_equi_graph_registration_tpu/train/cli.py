@@ -38,7 +38,8 @@ def _build_dataset(cfg: ExperimentConfig, split: str):
         from ..data.kitti import KITTIPairDataset
         return KITTIPairDataset(root=d.root, split=split,
                                 descriptor=d.descriptor,
-                                num_node=d.num_node, seed=d.seed)
+                                num_node=d.num_node, seed=d.seed,
+                                legacy_sampling_rng=d.legacy_sampling_rng)
     if d.dataset == "synthetic":
         return None
     raise ValueError(f"unknown dataset {d.dataset!r}")

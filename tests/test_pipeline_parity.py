@@ -249,3 +249,84 @@ def test_cli_eval_summary_matches_reference_results(archive_root,
                       avg["Average Recall"], atol=2e-3)
     assert np.isclose(got["Average F1 Score"],
                       avg["Average F1 Score"], atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# KITTI family: same bit-exact sampling treatment.
+# ---------------------------------------------------------------------------
+
+class _NpCompat:
+    """numpy proxy emulating the pre-1.16.3 `allow_pickle=True` np.load
+    default the reference ran under: KITTItrainVal calls `np.load(f)` on a
+    pickled dict inside a with-block and uses `.get()` after close
+    (KITTI.py:229-243) — that only ever worked through np.load's EAGER pickle
+    fallback, which modern numpy gates behind allow_pickle."""
+
+    def __getattr__(self, name):
+        return getattr(np, name)
+
+    @staticmethod
+    def load(f, **kw):
+        kw.setdefault("allow_pickle", True)
+        return np.load(f, **kw)
+
+
+def _load_ref_kitti():
+    alias = "ref_datasets_kitti"
+    if alias in sys.modules:
+        return sys.modules[alias]
+    spec = importlib.util.spec_from_file_location(
+        alias, "/root/reference/datasets/KITTI.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    mod.np = _NpCompat()
+    return mod
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    from se3_equi_graph_registration_tpu.data.synthetic import (
+        write_reference_kitti_archive)
+    root = tmp_path_factory.mktemp("kitti_archive")
+    write_reference_kitti_archive(str(root), n_train=3, n_val=1, n_test=3,
+                                  n_points=400, seed=13)
+    return str(root)
+
+
+@pytest.mark.parametrize("split", ["test", "train", "val"])
+def test_kitti_sampling_matches_reference_exactly(kitti_root, split):
+    from se3_equi_graph_registration_tpu.data.kitti import KITTIPairDataset
+    from se3_equi_graph_registration_tpu.data.sampling import (
+        remap_correspondences)
+
+    dsmod = _load_ref_kitti()
+    if split == "test":
+        # the reference KITTItest IGNORES its num_node arg and hardcodes
+        # sample_num = 2048 inside __getitem__ (KITTI.py:522); ours honors
+        # num_node, so compare at the hardcoded value
+        ref_ds = dsmod.KITTItest(kitti_root, "test", descriptor="fpfh",
+                                 num_node=64)
+        num_node = 2048
+    else:
+        ref_ds = dsmod.KITTItrainVal(kitti_root, split, descriptor="fpfh",
+                                     num_node=64)
+        num_node = 64
+    ours = KITTIPairDataset(root=kitti_root, split=split, descriptor="fpfh",
+                            num_node=num_node, seed=SEED,
+                            legacy_sampling_rng=True)
+    assert len(ref_ds) == len(ours)
+    for i in range(len(ours)):
+        np.random.seed(SEED + i)
+        ref = [np.asarray(v) for v in ref_ds[i]]
+        got = [np.asarray(v) for v in ours[i]]
+        # test split: reference returns the UNREMAPPED sampled corr rows
+        # (KITTI.py:551 mirrors the 3DMatch test quirk); ours remaps
+        if split == "test":
+            np.testing.assert_array_equal(
+                got[0], remap_correspondences(
+                    ref[0].astype(np.int64)).astype(np.float32))
+        else:
+            np.testing.assert_array_equal(got[0], ref[0])
+        for j in range(1, 7):
+            np.testing.assert_array_equal(got[j], ref[j], err_msg=f"field {j}")
