@@ -40,9 +40,13 @@ def correspondence_loss(scores: Array, top_labels: Array) -> Array:
 
 
 def similarity_consistency_loss(similarity: Array, raw_similarity: Array) -> Array:
-    """MSE between globally-standardized post- and pre-EGNN similarities."""
+    """MSE between globally-standardized post- and pre-EGNN similarities.
+
+    torch.Tensor.std is UNBIASED (ddof=1) — the reference standardizes with
+    it (:777-781), so ddof=1 here keeps loss parity (jnp defaults to ddof=0;
+    tests/test_loss_parity.py pins this against the imported reference)."""
     def _standardize(s):
-        return (s - s.mean()) / (s.std() + 1e-6)
+        return (s - s.mean()) / (s.std(ddof=1) + 1e-6)
     d = _standardize(similarity) - _standardize(raw_similarity)
     return jnp.mean(d * d)
 
