@@ -119,6 +119,18 @@ class RegistrationModel(nn.Module):
     # INIT already, h std ~6 per layer) | 'cosine' = normalized similarity,
     # bounded [-1, 1], trains robustly. Default keeps reference parity.
     weight_mode: str = "dot"
+    # eval_fusion Kabsch weighting: 'reference' = the reference's
+    # sum-normalize-then-softmax (:771-774) — dividing by the sum squashes
+    # every entry to ~1/N, so the softmax is NEAR-UNIFORM and the pose
+    # degrades to unweighted Kabsch (measured: 26 cm translation error at
+    # 70% inliers with the shipped checkpoint, in ANY config).
+    # 'sharp' = softmax(fused / fusion_temp) on the UN-squashed fused scores:
+    # measured on the shipped checkpoint (synthetic eval pairs, N=2048) it
+    # recovers 0.04/0.05/0.08 cm translation and 0.95/0.84/0.71 recall at
+    # 90/70/50% inliers vs the reference weighting's 9.2/26/45 cm and
+    # 0.61/0.0/0.0. Default keeps reference parity.
+    fusion_weighting: str = "reference"
+    fusion_temp: float = 0.1
 
     def setup(self):
         self.egnn = EGNN(
@@ -263,8 +275,14 @@ class RegistrationModel(nn.Module):
         # under x64) turns into a hard scatter-dtype error in future JAX.
         fused_topk = fused_topk.astype(raw_similarity.dtype)
         fused = jax.vmap(lambda s, i, v: s.at[i].set(v))(raw_similarity, top_idx, fused_topk)
-        fused = fused / (jnp.sum(fused, axis=-1, keepdims=True) + 1e-6)
-        weights = jax.nn.softmax(fused, axis=-1)
+        if self.fusion_weighting == "sharp":
+            weights = jax.nn.softmax(fused / self.fusion_temp, axis=-1)
+        elif self.fusion_weighting == "reference":
+            fused = fused / (jnp.sum(fused, axis=-1, keepdims=True) + 1e-6)
+            weights = jax.nn.softmax(fused, axis=-1)
+        else:
+            raise ValueError(
+                f"unknown fusion_weighting {self.fusion_weighting!r}")
 
         R, t = kabsch_weighted(raw_x_src, raw_x_tgt, weights,
                                solver=self.kabsch_solver)

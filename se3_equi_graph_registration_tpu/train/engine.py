@@ -95,6 +95,13 @@ class EngineConfig:
     fusion_literal: bool = False    # eval_fusion head: reproduce the
                                     # reference's broadcast accident
                                     # bit-faithfully (models/pose_head.py)
+    fusion_weighting: str = "reference"  # eval_fusion Kabsch weights:
+                                    # 'reference' (sum-squash + softmax —
+                                    # near-uniform, parity) | 'sharp'
+                                    # (softmax(fused/fusion_temp); measured
+                                    # 26 cm -> 0.05 cm at 70% inliers on
+                                    # the shipped ckpt — pose_head.py)
+    fusion_temp: float = 0.1        # 'sharp' softmax temperature
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -115,7 +122,8 @@ def build_model(cfg: EngineConfig, head_mode: str = "train") -> RegistrationMode
         head_mode=head_mode, egnn_impl=cfg.egnn_impl,
         kabsch_solver=cfg.kabsch_solver, topk_method=cfg.topk_method,
         egnn_accurate=cfg.egnn_accurate, use_pointnet=cfg.use_pointnet,
-        weight_mode=cfg.weight_mode, fusion_literal=cfg.fusion_literal)
+        weight_mode=cfg.weight_mode, fusion_literal=cfg.fusion_literal,
+        fusion_weighting=cfg.fusion_weighting, fusion_temp=cfg.fusion_temp)
 
 
 def lr_schedule(cfg: EngineConfig,
