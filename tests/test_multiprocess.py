@@ -41,22 +41,35 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
     outs = [str(tmp_path / f"params_{i}.npz") for i in range(NPROC)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), str(NPROC), outs[i]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
-        for i in range(NPROC)
-    ]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(out)
+
+    def run_workers(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(port), str(i), str(NPROC),
+                 outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for i in range(NPROC)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            logs.append(out)
+        return procs, logs
+
+    # one retry: coordinator/Gloo setup can trip over transient resource
+    # contention when the full suite saturates the box (observed once in-suite,
+    # unreproducible standalone); a genuine code regression fails both runs
+    procs, logs = run_workers(port)
+    if any(p.returncode != 0 for p in procs):
+        print("first multiprocess attempt failed, retrying once; logs:\n"
+              + "\n---\n".join(log[-4000:] for log in logs))
+        procs, logs = run_workers(_free_port())
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
