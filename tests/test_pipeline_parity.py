@@ -330,3 +330,76 @@ def test_kitti_sampling_matches_reference_exactly(kitti_root, split):
             np.testing.assert_array_equal(got[0], ref[0])
         for j in range(1, 7):
             np.testing.assert_array_equal(got[j], ref[j], err_msg=f"field {j}")
+
+
+# ---------------------------------------------------------------------------
+# Training-side pipeline parity: step-0 loss through BOTH stacks.
+# ---------------------------------------------------------------------------
+
+@needs_ckpt
+def test_train_pipeline_loss_matches_reference(archive_root):
+    """disk → train-split sampling → graphs → TRAIN head → loss composition:
+    the reference driver's step-0 total (corr+sim from the head, + rot + trans
+    means; 3dmatch_train_egnn_with_batch.py:1092-1120) must equal our
+    engine's total_loss with the default LossWeights on the same item and the
+    same converted checkpoint."""
+    ref_train = reference_oracle.train_module()
+    dsmod = _load_ref_datasets()
+    ds_ref = dsmod.ThreeDMatchTrainVal(archive_root, "train",
+                                       descriptor="fcgf", num_node=NUM_NODE)
+    model_t = reference_oracle.build_head(ref_train, CKPT, num_nodes=NUM_NODE)
+
+    np.random.seed(SEED)
+    item = [np.asarray(v) for v in ds_ref[0]]
+    tt = [torch.from_numpy(np.ascontiguousarray(v)).unsqueeze(0)
+          for v in item]
+    corr, labels, src_pts, tgt_pts, src_feat, tgt_feat, gt_pose = tt
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        g0 = _torch_knn_graph(src_pts[0], 16, loop=True)
+        g1 = _torch_knn_graph(tgt_pts[0], 16, loop=True)
+        e0, ea0 = ref_train.get_edges_batch(g0, NUM_NODE, 1)
+        e1, ea1 = ref_train.get_edges_batch(g1, NUM_NODE, 1)
+        edges_0 = torch.stack(e0, dim=0)[None]
+        edges_1 = torch.stack(e1, dim=0)[None]
+        with reference_oracle.quiet(), torch.no_grad():
+            (rot_mat, translation, corr_sim_loss, equi_loss, h_s, x_s, h_t,
+             x_t, _lab) = model_t(src_feat, src_pts, edges_0, ea0[None],
+                                  tgt_feat, tgt_pts, edges_1, ea1[None],
+                                  corr, labels, gt_pose)
+        rot_l, trans_l = ref_train.pose_loss(rot_mat, translation, gt_pose)
+        want_total = (corr_sim_loss.mean() + rot_l.mean()
+                      + trans_l.mean()).item()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    from se3_equi_graph_registration_tpu.data.threedmatch import (
+        ThreeDMatchPairDataset)
+    from se3_equi_graph_registration_tpu.train import losses as losses_lib
+    ours_ds = ThreeDMatchPairDataset(root=archive_root, split="train",
+                                     descriptor="fcgf", num_node=NUM_NODE,
+                                     seed=SEED, legacy_sampling_rng=True)
+    tup = tuple(np.asarray(v)[None] for v in ours_ds[0])
+    batch = engine.batch_to_device(tup)
+    cfg = engine.EngineConfig(num_nodes=NUM_NODE, in_node_nf=32, top_k=128,
+                              direction="cluster", knn_method="exact")
+    model = engine.build_model(cfg)   # train head
+    params = convert_reference_checkpoint(CKPT)
+    out = engine._apply_with_graphs(model, cfg, params, batch)
+    lb = losses_lib.total_loss(out, batch["gt_pose"], batch["labels"],
+                               cfg.loss_weights)
+    # component tolerances: rot/trans/equi are tight (fp32 accumulation);
+    # corr rides SATURATED BCE logits (mean ~22 on this random-feature data:
+    # the loss is ~linear in |logit| where the sign is wrong, so torch-vs-jax
+    # fp32 activation deltas pass through at full scale) — relative bound.
+    # The top-128 selection itself matches the torch head EXACTLY (verified:
+    # 128/128 overlap), so this is arithmetic noise, not a semantic gap.
+    assert np.isclose(float(lb.rot), rot_l.mean().item(), atol=1e-3)
+    assert np.isclose(float(lb.trans), trans_l.mean().item(), atol=1e-3)
+    assert np.isclose(float(lb.equi), equi_loss.item(), atol=1e-3)
+    assert np.isclose(float(lb.corr) + float(lb.sim), corr_sim_loss.mean().item(),
+                      rtol=2e-3), (float(lb.corr), float(lb.sim))
+    assert np.isclose(float(lb.total), want_total, rtol=2e-3), \
+        (float(lb.total), want_total)
