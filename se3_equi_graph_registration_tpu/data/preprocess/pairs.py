@@ -83,17 +83,34 @@ def save_pair(path: str, pair: dict) -> None:
 
 def extract_fpfh(points: np.ndarray, voxel_size: float = 0.05,
                  normal_radius_mult: float = 2.0,
-                 feature_radius_mult: float = 5.0):
-    """FPFH 33-d descriptors via open3d (process_kitti.py:21-38 semantics:
-    voxel downsample → normals → FPFH). Raises a clear error when open3d is
-    absent (it is not shipped in the TPU image)."""
+                 feature_radius_mult: float = 5.0,
+                 backend: str = "auto"):
+    """FPFH 33-d descriptors (process_kitti.py:21-38 semantics: voxel
+    downsample → normals → FPFH).
+
+    backend: 'open3d' (the reference's extractor), 'native' (the jnp
+    implementation in ops/fpfh.py — runs anywhere, including on TPU), or
+    'auto' (open3d when importable, else native). The native descriptors are
+    a faithful FPFH but not bit-parity with open3d's radius-search variant —
+    archives must use ONE backend consistently for src and tgt."""
+    if backend not in ("auto", "open3d", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "open3d":
+        try:
+            import open3d  # noqa: F401
+            have_o3d = True
+        except ImportError:
+            have_o3d = False
+        if backend == "native" or not have_o3d:
+            from ...ops.fpfh import extract_fpfh_native
+            return extract_fpfh_native(points, voxel_size=voxel_size)
     try:
         import open3d as o3d
     except ImportError as e:
         raise ImportError(
-            "FPFH extraction needs open3d, which is not available in this "
-            "image; run this offline preprocessing step on a host with "
-            "`pip install open3d`, then ship the .pkl pair files.") from e
+            "FPFH extraction with backend='open3d' needs open3d; use "
+            "backend='native' (ops/fpfh.py) or run this offline step on a "
+            "host with `pip install open3d`.") from e
     pcd = o3d.geometry.PointCloud()
     pcd.points = o3d.utility.Vector3dVector(np.asarray(points, np.float64))
     pcd = pcd.voxel_down_sample(voxel_size)

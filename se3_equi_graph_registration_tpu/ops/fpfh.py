@@ -1,0 +1,154 @@
+"""FPFH-33 descriptors as pure jnp — descriptor extraction without open3d.
+
+The reference's offline preprocessing needs open3d for FPFH
+(/root/reference/data_preprocess/process_kitti.py:21-38: voxel downsample →
+normal estimation → compute_fpfh_feature), an external dependency this image
+does not ship. This module provides the whole stage natively:
+
+- `voxel_downsample` (host numpy — variable output size is inherent);
+- `estimate_normals`: per-point PCA over the k-NN neighborhood, smallest
+  singular vector via the existing fp32 3x3 SVD (ops/svd3.py), oriented
+  toward the sensor origin like open3d's default;
+- `fpfh`: the Rusu et al. FPFH-33: per-edge Darboux-frame angle triple
+  (alpha, phi, theta), 11-bin histograms per channel accumulated with one-hot
+  matmuls (no scatter — the same trick as the EGNN aggregation), SPFH
+  normalized per channel to sum 100 (PCL/open3d convention), then
+  FPFH_i = SPFH_i + (1/k) * sum_j SPFH_j / ||p_i − p_j||.
+
+Fixed shapes throughout (k-NN neighborhoods with an optional radius MASK
+instead of open3d's variable radius search), so the whole extractor jits and
+runs on TPU. Values are a faithful FPFH, not bit-parity with open3d (its
+radius search and SPFH weighting differ in the tails); rotation invariance
+and correspondence-matching quality are pinned by tests/test_fpfh.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .knn import knn_graph
+from .svd3 import svd3
+
+Array = jax.Array
+
+_BINS = 11
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Centroid-per-voxel downsampling (host numpy; output size is data-
+    dependent). Matches open3d.voxel_down_sample semantics."""
+    pts = np.asarray(points, np.float64)
+    keys = np.floor(pts / voxel_size).astype(np.int64)
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    sums = np.zeros((len(uniq), 3), np.float64)
+    np.add.at(sums, inverse, pts)
+    counts = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals(x: Array, k: int = 30,
+                     viewpoint: Array | None = None) -> Array:
+    """Unit normals [N, 3] from k-NN PCA, oriented toward `viewpoint`
+    (default: the origin, open3d's orient_normals_towards_camera_location
+    default for depth-sensor clouds)."""
+    n = x.shape[0]
+    nbr = knn_graph(x, min(k, n))                       # [N, K] incl. self
+    nbh = x[nbr]                                        # [N, K, 3]
+    centered = nbh - jnp.mean(nbh, axis=1, keepdims=True)
+    cov = jnp.einsum("nka,nkb->nab", centered, centered)
+    # smallest right-singular vector of the (symmetric PSD) covariance
+    _, s, vt = svd3(cov)
+    normals = vt[:, 2, :]                               # singular values desc
+    vp = jnp.zeros((3,), x.dtype) if viewpoint is None else viewpoint
+    to_vp = vp[None, :] - x
+    sign = jnp.where(jnp.sum(normals * to_vp, axis=-1) < 0.0, -1.0, 1.0)
+    return normals * sign[:, None]
+
+
+def _histogram_onehot(values: Array, lo: float, hi: float) -> Array:
+    """values [N, K] → per-point histogram [N, BINS] via one-hot compare
+    (scatter-free)."""
+    t = jnp.clip((values - lo) / (hi - lo), 0.0, 1.0 - 1e-7)
+    idx = jnp.floor(t * _BINS).astype(jnp.int32)        # [N, K]
+    onehot = (idx[..., None]
+              == jnp.arange(_BINS, dtype=jnp.int32)).astype(values.dtype)
+    return jnp.sum(onehot, axis=1)                      # [N, BINS]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fpfh(x: Array, normals: Array, k: int = 30) -> Array:
+    """FPFH-33 descriptors [N, 33] over k-NN neighborhoods.
+
+    Per neighbor pair (i, j): pick the source s ∈ {i, j} whose normal makes
+    the smaller angle with the connecting line d (Rusu's convention), build
+    the Darboux frame u = n_s, v = d̂ × u, w = u × v and the features
+    alpha = v·n_t, phi = u·d̂, theta = atan2(w·n_t, u·n_t).
+    """
+    n = x.shape[0]
+    kk = min(k, n)
+    nbr = knn_graph(x, kk)                              # [N, K] (self first)
+    p_i = x[:, None, :]                                 # [N, 1, 3]
+    p_j = x[nbr]                                        # [N, K, 3]
+    n_i = jnp.broadcast_to(normals[:, None, :], p_j.shape)
+    n_j = normals[nbr]
+
+    d = p_j - p_i
+    dist = jnp.linalg.norm(d, axis=-1)                  # [N, K]
+    self_mask = dist > 1e-12                            # drop the self pair
+    dhat = d / (dist[..., None] + 1e-12)
+
+    # source/target selection: source normal has the smaller angle to d
+    cos_i = jnp.abs(jnp.sum(n_i * dhat, axis=-1))
+    cos_j = jnp.abs(jnp.sum(n_j * dhat, axis=-1))
+    take_i = (cos_i >= cos_j)[..., None]
+    n_s = jnp.where(take_i, n_i, n_j)
+    n_t = jnp.where(take_i, n_j, n_i)
+    dvec = jnp.where(take_i, dhat, -dhat)
+
+    u = n_s
+    v = jnp.cross(dvec, u)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+    w = jnp.cross(u, v)
+
+    alpha = jnp.sum(v * n_t, axis=-1)                   # [-1, 1]
+    phi = jnp.sum(u * dvec, axis=-1)                    # [-1, 1]
+    theta = jnp.arctan2(jnp.sum(w * n_t, axis=-1),
+                        jnp.sum(u * n_t, axis=-1))      # [-pi, pi]
+
+    mask = self_mask.astype(x.dtype)
+
+    def hist(vals, lo, hi):
+        h = _histogram_onehot(jnp.where(self_mask, vals, lo - 1.0), lo, hi)
+        # out-of-range (masked) values land in bin 0 via the clip — subtract
+        h = h.at[:, 0].add(-jnp.sum(1.0 - mask, axis=1))
+        total = jnp.maximum(jnp.sum(h, axis=1, keepdims=True), 1e-6)
+        return 100.0 * h / total                        # PCL convention
+
+    spfh = jnp.concatenate([
+        hist(alpha, -1.0, 1.0),
+        hist(phi, -1.0, 1.0),
+        hist(theta, -jnp.pi, jnp.pi),
+    ], axis=1)                                          # [N, 33]
+
+    # weighted neighbor accumulation: FPFH_i = SPFH_i + mean_j SPFH_j / w_j
+    inv_w = jnp.where(self_mask, 1.0 / (dist + 1e-12), 0.0)  # [N, K]
+    counts = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    neigh = jnp.einsum("nk,nkc->nc", inv_w, spfh[nbr]) / counts
+    return spfh + neigh
+
+
+def extract_fpfh_native(points: np.ndarray, voxel_size: float = 0.05,
+                        k_normals: int = 30, k_fpfh: int = 60
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop-in native replacement for pairs.extract_fpfh: voxel downsample →
+    normals → FPFH-33, no open3d. Returns (downsampled points [M, 3],
+    descriptors [M, 33])."""
+    pts = voxel_downsample(points, voxel_size)
+    xj = jnp.asarray(pts, jnp.float32)
+    normals = estimate_normals(xj, k=k_normals)
+    feats = fpfh(xj, normals, k=k_fpfh)
+    return pts, np.asarray(feats, np.float32)

@@ -1,0 +1,109 @@
+"""Native FPFH-33 extractor (ops/fpfh.py) — the open3d-free replacement for
+the reference's descriptor stage (data_preprocess/process_kitti.py:21-38)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3_equi_graph_registration_tpu.data.synthetic import random_rotation
+from se3_equi_graph_registration_tpu.ops import fpfh as F
+
+
+@pytest.fixture(scope="module")
+def surface():
+    """Random smooth surface grid — curvature varies, normals well-defined."""
+    rng = np.random.default_rng(0)
+    gx, gy = np.meshgrid(np.linspace(-1, 1, 24), np.linspace(-1, 1, 24))
+    z = np.zeros_like(gx)
+    for _ in range(5):
+        a = rng.uniform(0.1, 0.3)
+        b, p, q = rng.uniform(1, 4), rng.uniform(1, 4), rng.uniform(0, 6)
+        z += a * np.sin(b * gx + q) * np.cos(p * gy)
+    pts = np.stack([gx, gy, z], -1).reshape(-1, 3).astype(np.float32)
+    return pts + rng.standard_normal(pts.shape).astype(np.float32) * 0.002
+
+
+def test_voxel_downsample():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1, size=(5000, 3)).astype(np.float32)
+    down = F.voxel_downsample(pts, 0.25)
+    assert down.shape[1] == 3
+    assert len(down) <= 4 ** 3 and len(down) >= 32
+    # every centroid lies inside its voxel
+    keys = np.floor(down / 0.25)
+    assert np.all(down >= keys * 0.25 - 1e-6)
+    assert np.all(down <= (keys + 1) * 0.25 + 1e-6)
+
+
+def test_normals_unit_and_oriented(surface):
+    x = jnp.asarray(surface)
+    n = np.asarray(F.estimate_normals(x, k=16))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+    # oriented toward the origin viewpoint: n . (vp - p) >= 0
+    assert np.all(np.sum(n * (-surface), axis=1) >= -1e-5)
+    # the surface is z ~ f(x, y) with gentle slopes viewed from the origin
+    # above it is NOT (origin is at z=0 inside the height range) — instead
+    # check normals are orthogonal to the local surface tangent: correlate
+    # with the analytic grid spacing direction being non-normal
+    assert np.mean(np.abs(n[:, 2])) > 0.5   # mostly out-of-plane
+
+
+def test_fpfh_shape_and_histogram_structure(surface):
+    x = jnp.asarray(surface)
+    n = F.estimate_normals(x, k=16)
+    f = np.asarray(F.fpfh(x, n, k=30))
+    assert f.shape == (len(surface), 33)
+    assert np.all(np.isfinite(f)) and np.all(f >= 0)
+    # each 11-bin channel of the SPFH sums to 100, so the three channels of
+    # the accumulated FPFH have EQUAL sums per point
+    s0, s1, s2 = f[:, :11].sum(1), f[:, 11:22].sum(1), f[:, 22:].sum(1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4)
+
+
+def test_fpfh_rotation_invariance(surface):
+    x = jnp.asarray(surface)
+    f = np.asarray(F.fpfh(x, F.estimate_normals(x, k=16), k=30))
+    R = jnp.asarray(random_rotation(np.random.default_rng(7)), jnp.float32)
+    xr = x @ R.T
+    fr = np.asarray(F.fpfh(xr, F.estimate_normals(xr, k=16), k=30))
+    # histogram-bin edge flips keep the max delta nonzero; the MEAN must be
+    # tiny relative to the ~100-per-channel scale
+    assert np.mean(np.abs(f - fr)) < 0.5, np.mean(np.abs(f - fr))
+
+
+def test_fpfh_matches_under_rigid_motion(surface):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(surface)
+    f = F.fpfh(x, F.estimate_normals(x, k=16), k=30)
+    R = jnp.asarray(random_rotation(rng), jnp.float32)
+    t = jnp.asarray(rng.standard_normal(3) * 0.3, jnp.float32)
+    xt = x @ R.T + t
+    # the sensor viewpoint moves WITH the cloud (camera frame): orient the
+    # moved cloud's normals from the transformed origin, as a real scan would
+    ft = F.fpfh(xt, F.estimate_normals(xt, k=16, viewpoint=t), k=30)
+    d2 = (jnp.sum(f ** 2, 1)[:, None] - 2 * f @ ft.T
+          + jnp.sum(ft ** 2, 1)[None])
+    match = np.asarray(jnp.argmin(d2, axis=1))
+    acc = float(np.mean(match == np.arange(len(surface))))
+    assert acc > 0.7, acc   # measured 0.81 on this surface
+
+
+def test_extract_fpfh_native_pipeline(surface):
+    """End-to-end native stage: downsample -> normals -> descriptors, then a
+    full preprocessing pair build through data/preprocess/pairs.py."""
+    from se3_equi_graph_registration_tpu.data.preprocess import pairs
+
+    pts, feats = F.extract_fpfh_native(surface, voxel_size=0.1, k_fpfh=30)
+    assert feats.shape == (len(pts), 33)
+
+    # the auto backend must fall back to native in this (open3d-less) image
+    pts2, feats2 = pairs.extract_fpfh(surface, voxel_size=0.1)
+    assert feats2.shape[1] == 33
+
+    # build_pair's feature-NN uses raw dot products (the reference's formula
+    # assumes L2-normalized descriptors — the dataset loaders normalize FPFH
+    # at read time, datasets/ThreeDMatch.py:243-245); normalize likewise
+    fn = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-6)
+    pair = pairs.build_pair(pts, pts, fn, fn, np.eye(4, dtype=np.float32),
+                            inlier_threshold=0.10)
+    assert pair["labels"].mean() > 0.9   # identity pair: near-all inliers
