@@ -225,15 +225,29 @@ def make_point_sharded_train_step(model, optimizer, cfg, mesh: Mesh,
 
 def shard_points_batch(batch, mesh: Mesh, data_axis: str | None = "data",
                        point_axis: str = "point"):
-    """device_put a pair-batch dict with [B, N, ...] leaves sharded
+    """Assemble a pair-batch dict with [B, N, ...] leaves sharded
     P(data_axis, point_axis) and per-pair leaves (labels [B,N] included on
-    both axes; gt_pose [B,4,4] on data only)."""
+    both axes; gt_pose [B,4,4] on data only).
+
+    Multi-process: each process passes its LOCAL slice of the global batch
+    (the data axis spans processes over DCN, like host_local_to_global;
+    the point axis stays within each process's ICI devices) and the global
+    array is assembled via make_array_from_process_local_data — the 2-axis
+    composition of multi-host input feeding with context-parallel points."""
+    import numpy as np
     from jax.sharding import NamedSharding
 
+    multi = jax.process_count() > 1
+
     def put(name, a):
-        if a.ndim >= 2 and name != "gt_pose":
-            return jax.device_put(a, NamedSharding(mesh, P(data_axis, point_axis)))
-        return jax.device_put(a, NamedSharding(mesh, P(data_axis)))
+        spec = (P(data_axis, point_axis)
+                if getattr(a, "ndim", 0) >= 2 and name != "gt_pose"
+                else P(data_axis))
+        sharding = NamedSharding(mesh, spec)
+        if multi:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(a))
+        return jax.device_put(a, sharding)
 
     return {k: put(k, v) for k, v in batch.items()}
 

@@ -377,13 +377,11 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
 
     if mesh is not None and "point" in getattr(mesh, "axis_names", ()):
         # 2-axis (data x point) mesh: batches shard on both axes and the
-        # caller supplies the point-sharded step
+        # caller supplies the point-sharded step. Multi-process composes too:
+        # each process feeds its LOCAL data-axis slice and shard_points_batch
+        # assembles the global array (make_array_from_process_local_data),
+        # with the point axis staying on each process's own devices.
         from ..parallel.point_sharding import shard_points_batch
-        assert jax.process_count() == 1, (
-            "point-axis sharding currently assumes a single process: "
-            "shard_points_batch device_puts host-local arrays onto the "
-            "global mesh, which is wrong multi-host — compose "
-            "host_local_to_global with the point axis first")
         shard_pair_batch = shard_points_batch
         assert train_step is not None, \
             "pass train_step=make_point_sharded_train_step(...) with a " \

@@ -75,7 +75,29 @@ def main():
         assert leaf.sharding.is_fully_replicated, leaf.sharding
     np.savez(out, **{f"p{i}": np.asarray(leaf.addressable_data(0))
                      for i, leaf in enumerate(leaves)})
-    print(f"worker {pid}/{nproc}: ok ({len(leaves)} param leaves)", flush=True)
+
+    # --- phase 2: 2-axis composition — data axis ACROSS processes (DCN),
+    # point axis within each process's devices (the multi-host context-
+    # parallel regime; fit() routes through the process-aware
+    # shard_points_batch) ---
+    from se3_equi_graph_registration_tpu.parallel.point_sharding import (
+        make_point_sharded_train_step)
+    mesh2 = global_mesh({"data": nproc, "point": 2}, dcn_axis="data")
+    loader2 = PairLoader(DS(), batch_size=8 // nproc, shuffle=True, seed=5,
+                         num_workers=1, process_shard=(pid, nproc))
+    first2 = engine.batch_to_device(next(iter(loader2)))
+    state2 = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), first2)
+    state2 = jax.device_put(state2, NamedSharding(mesh2, P()))
+    ps_step = make_point_sharded_train_step(model, opt, cfg, mesh2)
+    state2 = engine.fit(model, opt, cfg, state2,
+                        train_batches=lambda: loader2, epochs=2, mesh=mesh2,
+                        train_step=ps_step)
+    leaves2 = jax.tree_util.tree_leaves(state2.params)
+    np.savez(out.replace(".npz", "_2axis.npz"),
+             **{f"p{i}": np.asarray(leaf.addressable_data(0))
+                for i, leaf in enumerate(leaves2)})
+    print(f"worker {pid}/{nproc}: ok ({len(leaves)} param leaves; "
+          f"2-axis data x point phase ok)", flush=True)
 
 
 if __name__ == "__main__":

@@ -111,3 +111,22 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     assert len(leaves) == len(a.files)
     for i, leaf in enumerate(leaves):
         np.testing.assert_allclose(a[f"p{i}"], np.asarray(leaf), atol=1e-4)
+
+    # (c) phase 2 — the 2-axis composition (data across processes, point
+    # within): both processes identical AND equal to a fresh single-process
+    # run over the same global batches (the all-gather point regime computes
+    # the identical loss as the unsharded step)
+    a2 = np.load(outs[0].replace(".npz", "_2axis.npz"))
+    b2 = np.load(outs[1].replace(".npz", "_2axis.npz"))
+    for k in a2.files:
+        np.testing.assert_array_equal(a2[k], b2[k])
+    loader2 = PairLoader(DS(), batch_size=8, shuffle=True, seed=5,
+                         num_workers=1)
+    first2 = engine.batch_to_device(next(iter(loader2)))
+    state2 = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), first2)
+    state2 = engine.fit(model, opt, cfg, state2,
+                        train_batches=lambda: loader2, epochs=2)
+    leaves2 = jax.tree_util.tree_leaves(state2.params)
+    assert len(leaves2) == len(a2.files)
+    for i, leaf in enumerate(leaves2):
+        np.testing.assert_allclose(a2[f"p{i}"], np.asarray(leaf), atol=1e-4)
