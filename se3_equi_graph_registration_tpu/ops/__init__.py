@@ -1,1 +1,1 @@
-from . import edge_geometry, kabsch, knn, segment  # noqa: F401
+from . import edge_geometry, fpfh, kabsch, knn, morton, segment, svd3  # noqa: F401

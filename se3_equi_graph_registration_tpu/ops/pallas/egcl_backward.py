@@ -405,7 +405,13 @@ def _fused_bwd(tile_t, chunk, interpret, window, accurate, res, cot):
     # N=2048, W=384: fewer recompute passes per tile). The full-TABLE fast
     # path keeps 512 — its one-hot is [N, E] and would blow VMEM at 2048.
     if accurate:
-        bwd_chunk = min(chunk, 256)
+        if window is not None:
+            # measured on v5e (B=16, W=384, N=2048): 256-lane chunks 9.2 ms,
+            # 512 -> 7.7, 1024 -> 7.5 per layer-cloud; 2048 fails to compile
+            # (3-pass intermediates exceed VMEM). The forward keeps 256.
+            bwd_chunk = min(tile_t * nbr_idx.shape[-1], 1024)
+        else:
+            bwd_chunk = min(chunk, 256)
     elif window is not None:
         bwd_chunk = chunk
     else:
