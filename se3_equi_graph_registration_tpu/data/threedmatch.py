@@ -124,15 +124,20 @@ class ThreeDMatchPairDataset:
             d["tgt_feat"] = _l2_normalize_rows(d["tgt_feat"])
         return d
 
+    def _item_rng(self, index: int):
+        """One definition of the per-item sampling stream (mirrors
+        data/kitti.py): legacy mode replays the reference's global-np.random
+        convention via RandomState(seed + index)."""
+        return (np.random.RandomState(self.seed + index)
+                if self.legacy_sampling_rng else self._rng)
+
     def __getitem__(self, index: int):
         d = self.load_raw(index)
-        rng = (np.random.RandomState(self.seed + index)
-               if self.legacy_sampling_rng else self._rng)
         pair = sample_pair(
             d["src_pts"], d["tgt_pts"], d["src_feat"], d["tgt_feat"],
             d["corr"], d["labels"], d["gt_pose"],
             sample_size=self.num_node, pos_fraction=self._pos_fraction,
-            rng=rng)
+            rng=self._item_rng(index))
 
         if self.synthetic_pose:
             pair = self._synthetic_pose_augment(pair)

@@ -409,7 +409,12 @@ def _fused_bwd(tile_t, chunk, interpret, window, accurate, res, cot):
             # measured on v5e (B=16, W=384, N=2048): 256-lane chunks 9.2 ms,
             # 512 -> 7.7, 1024 -> 7.5 per layer-cloud; 2048 fails to compile
             # (3-pass intermediates exceed VMEM). The forward keeps 256.
-            bwd_chunk = min(tile_t * nbr_idx.shape[-1], 1024)
+            # Must also DIVIDE tile_t*K (the kernel's chunking invariant) —
+            # e.g. k=12 gives tk=1536 where a flat 1024 cap would not.
+            tk = tile_t * nbr_idx.shape[-1]
+            bwd_chunk = tk
+            while bwd_chunk > 1024 or tk % bwd_chunk:
+                bwd_chunk //= 2
         else:
             bwd_chunk = min(chunk, 256)
     elif window is not None:

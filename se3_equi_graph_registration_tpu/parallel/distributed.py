@@ -80,25 +80,30 @@ def global_mesh(axes: Mapping[str, int] | None = None,
     if dcn_axis is not None and jax.process_count() > 1:
         if dcn_axis not in axes:
             raise ValueError(f"dcn_axis {dcn_axis!r} not in axes {dict(axes)}")
-        n_proc = jax.process_count()
-        if axes[dcn_axis] % n_proc != 0:
+        # Granule choice: multi-SLICE TPU pods carry distinct slice_index
+        # attributes and the DCN boundary is the SLICE; CPU/GPU clusters and
+        # single-slice multi-host TPUs have one (or no) slice, so the DCN
+        # boundary is the PROCESS (discovered the hard way by the real
+        # 2-process test: slice-granule grouping off-TPU raises 'Number of
+        # slices 1 must equal ...'). The dcn mesh dimension must be sized by
+        # the GRANULE count either way — a multi-slice pod with several hosts
+        # per slice has n_proc > n_slices.
+        slices = {getattr(d, "slice_index", None) for d in devices}
+        process_granule = len(slices) <= 1
+        n_granules = jax.process_count() if process_granule else len(slices)
+        if axes[dcn_axis] % n_granules != 0:
             raise ValueError(
                 f"axis {dcn_axis!r}={axes[dcn_axis]} must divide by the "
-                f"process count {n_proc} for DCN placement")
+                f"DCN granule count {n_granules} "
+                f"({'processes' if process_granule else 'slices'})")
         ici = dict(axes)
         dcn = {k: 1 for k in axes}
-        ici[dcn_axis] = axes[dcn_axis] // n_proc
-        dcn[dcn_axis] = n_proc
-        # Granule choice: multi-SLICE TPU pods carry distinct slice_index
-        # attributes and group by slice; CPU/GPU clusters and single-slice
-        # multi-host TPUs have one (or no) slice, so the DCN boundary is the
-        # PROCESS (discovered the hard way by the real 2-process test:
-        # slice-granule grouping raises 'Number of slices 1 must equal ...').
-        slices = {getattr(d, "slice_index", None) for d in devices}
+        ici[dcn_axis] = axes[dcn_axis] // n_granules
+        dcn[dcn_axis] = n_granules
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=[ici[k] for k in names],
             dcn_mesh_shape=[dcn[k] for k in names],
-            devices=devices, process_is_granule=len(slices) <= 1)
+            devices=devices, process_is_granule=process_granule)
         return Mesh(dev_array, names)
     dev_array = mesh_utils.create_device_mesh(sizes, devices=devices)
     return Mesh(dev_array, names)

@@ -392,6 +392,12 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
 
     if train_step is None:
         train_step = make_train_step(model, optimizer, cfg)
+    # lower-is-better metrics only — min-selection below; an unknown value
+    # would otherwise silently disable best-val checkpointing forever
+    if cfg.best_val_metric not in ("loss", "rot_err_deg", "trans_err_cm"):
+        raise ValueError(
+            f"unknown best_val_metric {cfg.best_val_metric!r}; expected "
+            "'loss' (reference parity), 'rot_err_deg' or 'trans_err_cm'")
     eval_model = build_model(cfg, head_mode="train")
     eval_step = make_eval_step(eval_model, cfg,
                                with_loss=cfg.best_val_metric == "loss")
@@ -415,15 +421,23 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
         train_metrics["epoch_seconds"] = time.time() - t0
 
         if val_batches is not None:
+            # per-batch metrics reduce to scalars ON DEVICE: under a
+            # multi-process mesh the per-pair arrays span non-addressable
+            # devices (data axis across hosts) and np.asarray would throw;
+            # the jitted mean all-reduces to a replicated scalar every
+            # process can read (equal-sized batches — PairLoader drop_last —
+            # make mean-of-batch-means == mean-over-pairs)
+            mean_metrics = jax.jit(
+                lambda m: {k: jnp.mean(v) for k, v in m.items()})
             vals = []
             for batch in val_batches():
                 batch = batch_to_device(batch) if isinstance(batch, tuple) else batch
                 if mesh is not None:
                     batch = shard_pair_batch(batch, mesh)
-                vals.append({k: np.asarray(v) for k, v in
-                             eval_step(state.params, batch).items()})
-            val_metrics = {k: float(np.mean(np.concatenate(
-                [np.atleast_1d(v[k]) for v in vals]))) for k in vals[0]} if vals else {}
+                vals.append({k: np.asarray(v) for k, v in mean_metrics(
+                    eval_step(state.params, batch)).items()})
+            val_metrics = {k: float(np.mean([v[k] for v in vals]))
+                           for k in vals[0]} if vals else {}
             train_metrics.update({f"val_{k}": v for k, v in val_metrics.items()})
             # Best-val criterion: total validation loss by default, like the
             # reference driver (:1435-1437); rotation error as an opt-in.

@@ -67,8 +67,15 @@ def main():
     state = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0), first)
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
+    # val_batches exercises the multi-process validation loop (per-pair
+    # metrics span non-addressable devices; fit reduces them to replicated
+    # scalars on device) and the best-val-by-loss selection
+    val_loader = PairLoader(DS(), batch_size=8 // nproc, shuffle=False,
+                            seed=5, num_workers=1,
+                            process_shard=(pid, nproc))
     state = engine.fit(model, opt, cfg, state,
-                       train_batches=lambda: loader, epochs=3, mesh=mesh)
+                       train_batches=lambda: loader, epochs=3, mesh=mesh,
+                       val_batches=lambda: val_loader)
 
     leaves = jax.tree_util.tree_leaves(state.params)
     for leaf in leaves:

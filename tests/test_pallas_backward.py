@@ -143,3 +143,36 @@ def test_accurate_mode_backward_matches_xla(rng):
                     jax.tree_util.tree_leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-2, rtol=2e-3)
+
+
+def test_accurate_window_backward_nonpow2_k(rng):
+    """Regression (round-3 review): the accurate-window backward chunk must
+    DIVIDE tile_t*K — k=12 gives tk=1536, where a flat 1024 cap breaks the
+    kernel's chunking invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3_equi_graph_registration_tpu.ops import morton
+    from se3_equi_graph_registration_tpu.ops.pallas.egcl_backward import (
+        egcl_fused_diff)
+    from se3_equi_graph_registration_tpu.ops.pallas.egcl_kernel import (
+        params_from_tree)
+    from se3_equi_graph_registration_tpu.models.egnn import EGNN
+
+    b, n, k, c, W = 1, 256, 12, 16, 128
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    hs, xs, _ = morton.sort_by_curve(h, x, "hilbert")
+    nbr = jax.vmap(lambda xx: morton.knn_graph_window(
+        xx, k, tile=128, window=W))(xs)
+    model = EGNN(in_node_nf=c, hidden_nf=c)
+    params = model.init(jax.random.PRNGKey(0), h[:1], x[:1], nbr[:1])
+    p = params_from_tree(params["params"]["gcl_0"])
+    ht, xt = jnp.swapaxes(hs, -1, -2), jnp.swapaxes(xs, -1, -2)
+
+    def loss(ht_):
+        ho, xo = egcl_fused_diff(ht_, xt, nbr, p, 128, 128 * k, True, W, True)
+        return jnp.sum(ho ** 2) + jnp.sum(xo ** 2)
+
+    g = jax.grad(loss)(ht)
+    assert bool(jnp.all(jnp.isfinite(g)))
