@@ -30,3 +30,16 @@ def test_denoise_demo_runs():
     out = subprocess.run([sys.executable, "-c", code], cwd=root,
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_multihost_train_demo_runs():
+    root = pathlib.Path(__file__).resolve().parents[1]
+    import os
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)   # the demo's workers provision their own CPUs
+    out = subprocess.run(
+        [sys.executable, str(root / "examples" / "multihost_train.py"),
+         "--demo"],
+        cwd=root, capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "both processes finished" in out.stdout, out.stdout
