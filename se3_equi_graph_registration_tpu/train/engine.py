@@ -401,6 +401,13 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
     eval_model = build_model(cfg, head_mode="train")
     eval_step = make_eval_step(eval_model, cfg,
                                with_loss=cfg.best_val_metric == "loss")
+    # per-batch metrics reduce to scalars ON DEVICE: under a multi-process
+    # mesh the per-pair arrays span non-addressable devices (data axis across
+    # hosts) and np.asarray would throw; the jitted mean all-reduces to a
+    # replicated scalar every process can read (equal-sized batches —
+    # PairLoader drop_last — make mean-of-batch-means == mean-over-pairs).
+    # Defined ONCE so jit caches across epochs.
+    mean_metrics = jax.jit(lambda m: {k: jnp.mean(v) for k, v in m.items()})
 
     best_val = np.inf
     for epoch in range(epochs):
@@ -421,14 +428,6 @@ def fit(model, optimizer, cfg: EngineConfig, state: TrainState,
         train_metrics["epoch_seconds"] = time.time() - t0
 
         if val_batches is not None:
-            # per-batch metrics reduce to scalars ON DEVICE: under a
-            # multi-process mesh the per-pair arrays span non-addressable
-            # devices (data axis across hosts) and np.asarray would throw;
-            # the jitted mean all-reduces to a replicated scalar every
-            # process can read (equal-sized batches — PairLoader drop_last —
-            # make mean-of-batch-means == mean-over-pairs)
-            mean_metrics = jax.jit(
-                lambda m: {k: jnp.mean(v) for k, v in m.items()})
             vals = []
             for batch in val_batches():
                 batch = batch_to_device(batch) if isinstance(batch, tuple) else batch

@@ -17,6 +17,22 @@ import sys
 import numpy as np
 
 
+class DeterministicPairs:
+    """Deterministic by index — every process (and the parent test's
+    single-process reference) reconstructs the SAME dataset; PairLoader's
+    process_shard gives each its disjoint slice."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        from se3_equi_graph_registration_tpu.data.synthetic import (
+            make_pair_batch)
+        pb = make_pair_batch(np.random.default_rng(100 + i), batch=1,
+                             n=64, feat_dim=16)
+        return tuple(np.asarray(v)[0] for v in pb)
+
+
 def main():
     port, pid, nproc, out = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                              sys.argv[4])
@@ -36,7 +52,6 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from se3_equi_graph_registration_tpu.data.pipeline import PairLoader
-    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
     from se3_equi_graph_registration_tpu.train import engine
 
     cfg = engine.EngineConfig(num_nodes=64, k=8, in_node_nf=16, hidden_nf=32,
@@ -44,17 +59,7 @@ def main():
     model = engine.build_model(cfg)
     opt = engine.build_optimizer(cfg)
 
-    class DS:
-        """Deterministic by index — every process reconstructs the same
-        dataset; PairLoader's process_shard gives each its disjoint slice."""
-
-        def __len__(self):
-            return 8
-
-        def __getitem__(self, i):
-            pb = make_pair_batch(np.random.default_rng(100 + i), batch=1,
-                                 n=64, feat_dim=16)
-            return tuple(np.asarray(v)[0] for v in pb)
+    DS = DeterministicPairs  # shared with the parent test's reference run
 
     # hybrid mesh: the 'data' axis crosses the two processes over DCN
     mesh = global_mesh({"data": 2 * nproc}, dcn_axis="data")

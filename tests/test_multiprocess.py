@@ -82,23 +82,15 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
 
     # (b) equal to the single-process run over the same global batches
     from se3_equi_graph_registration_tpu.data.pipeline import PairLoader
-    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
     from se3_equi_graph_registration_tpu.train import engine
     import jax
+
+    from multiprocess_worker import DeterministicPairs as DS
 
     cfg = engine.EngineConfig(num_nodes=64, k=8, in_node_nf=16, hidden_nf=32,
                               top_k=16)
     model = engine.build_model(cfg)
     opt = engine.build_optimizer(cfg)
-
-    class DS:
-        def __len__(self):
-            return 8
-
-        def __getitem__(self, i):
-            pb = make_pair_batch(np.random.default_rng(100 + i), batch=1,
-                                 n=64, feat_dim=16)
-            return tuple(np.asarray(v)[0] for v in pb)
 
     loader = PairLoader(DS(), batch_size=8, shuffle=True, seed=5,
                         num_workers=1)
