@@ -367,17 +367,25 @@ def egnn_forward_pallas(variables: dict, h: Array, x: Array, nbr_idx: Array,
     emb_in = tree["embedding_in"]
     emb_out = tree["embedding_out"]
 
+    # Accurate (3-pass) VMEM chunk caps, measured on v5e: the FULL-TABLE
+    # one-hot is [table_chunk, E] fp32 — beyond 256 lanes it OOMs VMEM. The
+    # WINDOW one-hot is only [window, E]: up to 1024 lanes fit and run 21%
+    # faster (4.88 -> 3.84 ms/layer-batch at B=16, W=384; 2048 crashes the
+    # compiler — same envelope as the backward, egcl_backward.py).
+    acc_cap = (1024 if window is not None else 256) if accurate else None
+    k = nbr_idx.shape[-1]
     if chunk is None:
-        # measured on v5e: accurate (3-pass) mode OOMs VMEM beyond 256 lanes;
         # fast mode is ~30% faster with one full-tile chunk (no accumulation
         # loop) as long as the [table_chunk, chunk] one-hot stays in budget
-        k = nbr_idx.shape[-1]
-        chunk = 256 if accurate else tile_t * k
+        chunk = tile_t * k
         if window is not None and not accurate:
             # keep the [window, chunk] one-hot within the VMEM budget
             chunk = min(chunk, 2048)
-    elif accurate and chunk > 256:
-        chunk = 256
+    if acc_cap is not None and chunk > acc_cap:
+        # must still DIVIDE tile_t*K (the kernel's chunking invariant)
+        chunk = tile_t * k
+        while chunk > acc_cap or (tile_t * k) % chunk:
+            chunk //= 2
 
     squeeze = h.ndim == 2
     if squeeze:
