@@ -56,6 +56,31 @@ def _setup_window(rng, b=2, n=256, k=16, c=32, window=128, curve="hilbert"):
     return model, params, h, x, nbr
 
 
+def test_accurate_window_forward_chunk_cap_nonpow2_k(rng):
+    """Regression: the accurate-window FORWARD's auto chunk (1024-lane cap,
+    egcl_kernel.py) must DIVIDE tile_t*K — k=12 gives tk=1536, where a flat
+    1024 cap breaks the kernel's chunking invariant. chunk=None exercises
+    the cap loop; output must match the XLA EGNN on the same window graph."""
+    from se3_equi_graph_registration_tpu.ops import morton
+    b, n, k, c, W = 1, 256, 12, 32, 128
+    h = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    h, x, _ = morton.sort_by_curve(h, x, "hilbert")
+    # graph tile MUST equal the kernel's tile_t (shared window invariant)
+    nbr = jax.vmap(lambda p: morton.knn_graph_window(p, k, tile=128,
+                                                     window=W))(x)
+    model = EGNN(in_node_nf=c, direction="center", so3_mode="frame")
+    params = model.init(jax.random.PRNGKey(0), h, x, nbr)
+    h_ref, x_ref = model.apply(params, h, x, nbr)
+    h_pal, x_pal = egnn_forward_pallas(params, h, x, nbr, tile_t=128,
+                                       chunk=None, interpret=True,
+                                       accurate=True, window=128)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_windowed_kernel_matches_flax_on_window_graph(rng):
     """The windowed gather must be EXACT for graphs satisfying the window
     invariant: fused kernel (window=...) == XLA EGNN on the same graph."""
