@@ -35,10 +35,19 @@ from .train.checkpoints import convert_reference_checkpoint
 
 class Registrar:
     def __init__(self, params, cfg: engine.EngineConfig,
-                 head_mode: str = "eval_fusion"):
+                 head_mode: str = "eval_fusion", mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair
+        axis of every register() call is sharded over it (params replicated),
+        scaling batch serving across chips with zero per-request collectives
+        (each pair is independent; XLA partitions the whole program). Batches
+        are padded up to a multiple of the axis size."""
         self.cfg = cfg
-        self.params = params
+        self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
+        if mesh is not None:
+            from .parallel.mesh import replicated
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
 
         def _fwd(p, b):
             out = engine._apply_with_graphs(self.model, cfg, p, b)
@@ -49,7 +58,10 @@ class Registrar:
             # ~1.2 ms; every avoidable dispatch/fetch dwarfs it)
             cov = pose_covariance(b["src_pts"], b["tgt_pts"], out.R, out.t,
                                   out.weights)
-            return out.R, out.t, jnp.mean(out.similarity), cov
+            # per-pair similarity mean (a [B] vector): mesh-mode pads the
+            # pair axis, so the batch reduction must happen AFTER the host
+            # slices the padding off
+            return out.R, out.t, jnp.mean(out.similarity, axis=-1), cov
 
         self._apply = jax.jit(_fwd)
 
@@ -81,6 +93,63 @@ class Registrar:
                 raise FileNotFoundError(f"no checkpoint under {path}")
             params = restored[0].params
         return cls(params, cfg, head_mode)
+
+    def export_compiled(self, path: str, batch: int = 1,
+                        platforms: Optional[tuple] = None) -> int:
+        """AOT-export the jitted forward as a portable serialized program
+        (`jax.export` / StableHLO) and write it to `path`; returns the
+        artifact size in bytes.
+
+        The artifact captures graph build + EGNN + head + covariance as ONE
+        compiler-ready program with static shapes — a deployment story the
+        reference (a 1.4k-line eval script that re-traces python every run)
+        has no analog for. Weights stay OUTSIDE the artifact and are passed
+        at call time, so one artifact serves every fine-tune of the same
+        architecture. `platforms` pins the target list (e.g. ``("tpu",)``);
+        default = the platform exporting. Reload with
+        :meth:`load_exported` — no model/config code needed at the
+        deployment site, only jax.
+        """
+        from jax import export as jexport
+
+        n, c = self.cfg.num_nodes, self.cfg.in_node_nf
+        p_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+            self.params)
+        b_specs = {
+            "src_pts": jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
+            "src_feat": jax.ShapeDtypeStruct((batch, n, c), jnp.float32),
+            "tgt_pts": jax.ShapeDtypeStruct((batch, n, 3), jnp.float32),
+            "tgt_feat": jax.ShapeDtypeStruct((batch, n, c), jnp.float32),
+            "labels": jax.ShapeDtypeStruct((batch, n), jnp.float32),
+        }
+        kw = {} if platforms is None else {"platforms": list(platforms)}
+        try:
+            exp = jexport.export(self._apply, **kw)(p_specs, b_specs)
+        except ValueError as e:
+            if "custom_call" not in str(e):
+                raise
+            # the fused-Pallas fast path lowers to a TPU custom call, which
+            # export's safety checks flag as non-portable by default; it IS
+            # replayable on TPU runtimes of the same libtpu generation
+            kw["disabled_checks"] = [
+                jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+            exp = jexport.export(self._apply, **kw)(p_specs, b_specs)
+        data = exp.serialize()
+        with open(path, "wb") as f:
+            f.write(data)
+        return len(data)
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load an :meth:`export_compiled` artifact; returns
+        ``fn(params, batch) -> (R, t, similarity_mean, pose_covariance)``.
+        Only jax is required at the deployment site (no framework code)."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exp = jexport.deserialize(f.read())
+        return jax.jit(exp.call)
 
     def _fit_n(self, arr: np.ndarray, n: int, rng: np.random.Generator):
         """Sample down or pad (with replacement) to the compiled point count."""
@@ -146,18 +215,31 @@ class Registrar:
                            if labels is not None else np.ones(n, np.float32))
 
         batch = {
-            "src_pts": jnp.asarray(np.stack(out_s_pts)),
-            "src_feat": jnp.asarray(np.stack(out_s_feat)),
-            "tgt_pts": jnp.asarray(np.stack(out_t_pts)),
-            "tgt_feat": jnp.asarray(np.stack(out_t_feat)),
-            "labels": jnp.asarray(np.stack(out_lbl)),
+            "src_pts": np.stack(out_s_pts),
+            "src_feat": np.stack(out_s_feat),
+            "tgt_pts": np.stack(out_t_pts),
+            "tgt_feat": np.stack(out_t_feat),
+            "labels": np.stack(out_lbl),
         }
+        if self.mesh is not None:
+            # pad the pair axis to a multiple of the mesh's data axis (the
+            # last pair repeats; padded rows are sliced off below), then
+            # shard it — XLA partitions the whole program, no collectives
+            from .parallel.mesh import shard_pair_batch
+            nd = self.mesh.shape["data"]
+            pad = -b % nd
+            if pad:
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+            batch = shard_pair_batch(batch, self.mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         # ONE host round trip for all four results (4 separate np.asarray
         # fetches quadruple the link latency)
         R, t, sim, cov = jax.device_get(self._apply(self.params, batch))
-        R, t = np.asarray(R), np.asarray(t)
-        info = {"similarity_mean": float(sim),
-                "pose_covariance": np.asarray(cov)}
+        R, t, cov = np.asarray(R)[:b], np.asarray(t)[:b], np.asarray(cov)[:b]
+        info = {"similarity_mean": float(np.mean(np.asarray(sim)[:b])),
+                "pose_covariance": cov}
         if clique_prefilter:
             info["clique_inliers"] = [int(l.sum()) for l in out_lbl]
         if squeeze:

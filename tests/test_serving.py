@@ -187,3 +187,72 @@ def test_batching_server_coalesces(rng):
             assert np.all(np.isfinite(R))
     finally:
         server.close()
+
+
+def test_export_compiled_roundtrip(rng, tmp_path):
+    """AOT export (jax.export / StableHLO): the serialized program reloads
+    WITHOUT framework code and reproduces the live jit bit-exactly."""
+    from se3_equi_graph_registration_tpu import serving
+    from se3_equi_graph_registration_tpu.train import engine
+
+    n, c = 128, 16
+    cfg = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=c, hidden_nf=32,
+                              top_k=32)
+    model = engine.build_model(cfg)
+    feat = rng.standard_normal((1, n, c)).astype(np.float32)
+    src = rng.standard_normal((1, n, 3)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), feat, src, np.zeros((1, n, 8), np.int32),
+        feat, src, np.zeros((1, n, 8), np.int32), np.ones((1, n), np.float32))
+    reg = serving.Registrar(params, cfg, head_mode="train")
+
+    path = str(tmp_path / "registrar.jaxexport")
+    size = reg.export_compiled(path, batch=1)
+    assert size > 0 and os.path.getsize(path) == size
+
+    batch = {"src_pts": jnp.asarray(src), "src_feat": jnp.asarray(feat),
+             "tgt_pts": jnp.asarray(src + 0.05), "tgt_feat": jnp.asarray(feat),
+             "labels": jnp.ones((1, n), jnp.float32)}
+    live = jax.device_get(reg._apply(reg.params, batch))
+    fn = serving.Registrar.load_exported(path)
+    loaded = jax.device_get(fn(reg.params, batch))
+    for a, b in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_registrar_data_parallel_mesh(rng):
+    """mesh= shards the pair axis over the 8-device mesh; results match the
+    single-device registrar, including a batch that needs padding (3 -> 8)."""
+    from se3_equi_graph_registration_tpu import serving
+    from se3_equi_graph_registration_tpu.parallel.mesh import local_mesh_for_testing
+    from se3_equi_graph_registration_tpu.train import engine
+
+    n, c = 128, 16
+    cfg = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=c, hidden_nf=32,
+                              top_k=32)
+    model = engine.build_model(cfg)
+    feat = rng.standard_normal((3, n, c)).astype(np.float32)
+    src = rng.standard_normal((3, n, 3)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), feat[:1], src[:1],
+        np.zeros((1, n, 8), np.int32), feat[:1], src[:1],
+        np.zeros((1, n, 8), np.int32), np.ones((1, n), np.float32))
+
+    single = serving.Registrar(params, cfg, head_mode="train")
+    sharded = serving.Registrar(params, cfg, head_mode="train",
+                                mesh=local_mesh_for_testing(8))
+    tgt = src + 0.05
+    R1, t1, i1 = single.register(src, feat, tgt, feat)
+    R2, t2, i2 = sharded.register(src, feat, tgt, feat)
+    assert R2.shape == (3, 3, 3) and t2.shape == (3, 3)
+    np.testing.assert_allclose(R2, R1, atol=1e-5)
+    np.testing.assert_allclose(t2, t1, atol=1e-5)
+    np.testing.assert_allclose(i2["similarity_mean"], i1["similarity_mean"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(i2["pose_covariance"], i1["pose_covariance"],
+                               rtol=1e-4, atol=1e-5)
+
+    # unbatched (squeeze) path through the mesh: pads 1 -> 8
+    R3, t3, i3 = sharded.register(src[0], feat[0], tgt[0], feat[0])
+    assert R3.shape == (3, 3) and i3["pose_covariance"].shape == (6, 6)
+    np.testing.assert_allclose(R3, R1[0], atol=1e-5)
