@@ -127,6 +127,66 @@ def kabsch_weighted(src: Array, tgt: Array, weights: Array,
     return R.astype(in_dtype), t.astype(in_dtype)
 
 
+_IRLS_KERNELS = {
+    # w(u) = ρ'(u)/u for residual u = r/σ — the IRLS multiplier
+    "huber": lambda u: jnp.minimum(1.0, 1.0 / jnp.maximum(u, 1e-12)),
+    "cauchy": lambda u: 1.0 / (1.0 + u * u),
+    "geman": lambda u: 1.0 / (1.0 + u * u) ** 2,
+}
+
+
+def kabsch_irls(src: Array, tgt: Array, weights: Array, iters: int = 5,
+                kernel: str = "geman", sigma: float | None = None,
+                min_sigma: float = 1e-3, solver: str = "svd",
+                eps_reg: float = 1e-6) -> tuple[Array, Array, Array]:
+    """Robust pose refinement: iteratively-reweighted weighted Kabsch.
+
+    Starts from the `weights`-weighted solve, then `iters` times multiplies
+    the prior weights by a robust kernel of the point residuals under the
+    current pose and re-solves. Compiler-friendly by construction — a
+    `lax.scan` of fixed length over fixed shapes, each step one fused
+    3×N contraction + 3×3 solve, so the whole refinement stays inside one
+    XLA program (the classic alternative, per-pair RANSAC loops with
+    data-dependent trip counts, cannot be jitted on TPU).
+
+    σ (the residual scale) defaults to a per-iteration MAD estimate
+    (1.4826·median|r−median r|, floored at `min_sigma`) — pass a float to
+    pin it. Returns (R, t, final_weights); all-zero weight rows degrade to
+    (I, 0) via kabsch_weighted. The reference has no analog (its eval head
+    is a single weighted solve, src/eval_egnn_metrics.py:594-827); this is
+    the serving-side robustness upgrade measured in BASELINE.md.
+    """
+    if kernel not in _IRLS_KERNELS:
+        raise ValueError(f"unknown IRLS kernel {kernel!r}; "
+                         f"expected one of {sorted(_IRLS_KERNELS)}")
+    kfn = _IRLS_KERNELS[kernel]
+    w0 = weights.astype(jnp.float32)
+    srcf = src.astype(jnp.float32)
+    tgtf = tgt.astype(jnp.float32)
+
+    def solve(w):
+        return kabsch_weighted(srcf, tgtf, w, eps_reg=eps_reg, solver=solver)
+
+    def body(carry, _):
+        _R, _t, _ = carry
+        r = jnp.linalg.norm(
+            jnp.einsum("...ij,...nj->...ni", _R, srcf) + _t[..., None, :]
+            - tgtf, axis=-1)                                     # [..., N]
+        if sigma is None:
+            med = jnp.median(r, axis=-1, keepdims=True)
+            s = 1.4826 * jnp.median(jnp.abs(r - med), axis=-1, keepdims=True)
+            s = jnp.maximum(s, min_sigma)
+        else:
+            s = jnp.asarray(sigma, jnp.float32)
+        w = w0 * kfn(r / s)
+        R2, t2 = solve(w)
+        return (R2, t2, w), None
+
+    R, t = solve(w0)
+    (R, t, w), _ = jax.lax.scan(body, (R, t, w0), None, length=iters)
+    return R, t, w
+
+
 def pose_covariance(src: Array, tgt: Array, R: Array, t: Array,
                     weights: Array, eps: float = 1e-9) -> Array:
     """Gauss-Newton / Laplace covariance of the weighted-Kabsch pose.

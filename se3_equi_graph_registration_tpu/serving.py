@@ -28,19 +28,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.kabsch import pose_covariance
+from .ops.kabsch import kabsch_irls, pose_covariance
 from .train import engine
 from .train.checkpoints import convert_reference_checkpoint
 
 
 class Registrar:
     def __init__(self, params, cfg: engine.EngineConfig,
-                 head_mode: str = "eval_fusion", mesh=None):
+                 head_mode: str = "eval_fusion", mesh=None,
+                 refine_iters: int = 0, refine_kernel: str = "geman"):
         """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair
         axis of every register() call is sharded over it (params replicated),
         scaling batch serving across chips with zero per-request collectives
         (each pair is independent; XLA partitions the whole program). Batches
-        are padded up to a multiple of the axis size."""
+        are padded up to a multiple of the axis size.
+
+        `refine_iters>0` appends IRLS robust refinement (ops/kabsch.py
+        kabsch_irls) to the head's pose inside the same jitted program —
+        down-weights outlier correspondences by their residuals under the
+        current pose; the covariance then reflects the refined weights."""
         self.cfg = cfg
         self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
@@ -51,17 +57,22 @@ class Registrar:
 
         def _fwd(p, b):
             out = engine._apply_with_graphs(self.model, cfg, p, b)
+            R, t, w = out.R, out.t, out.weights
+            if refine_iters > 0:
+                R, t, w = kabsch_irls(b["src_pts"], b["tgt_pts"], w,
+                                      iters=refine_iters,
+                                      kernel=refine_kernel,
+                                      solver=cfg.kabsch_solver)
             # covariance AND the similarity reduction inside the SAME jitted
             # program — eagerly they cost per-op dispatches on the serving hot
             # path, and returning the full [B, N] similarity would drag a
             # large fetch over the host link (measured: the B=1 compute is
             # ~1.2 ms; every avoidable dispatch/fetch dwarfs it)
-            cov = pose_covariance(b["src_pts"], b["tgt_pts"], out.R, out.t,
-                                  out.weights)
+            cov = pose_covariance(b["src_pts"], b["tgt_pts"], R, t, w)
             # per-pair similarity mean (a [B] vector): mesh-mode pads the
             # pair axis, so the batch reduction must happen AFTER the host
             # slices the padding off
-            return out.R, out.t, jnp.mean(out.similarity, axis=-1), cov
+            return R, t, jnp.mean(out.similarity, axis=-1), cov
 
         self._apply = jax.jit(_fwd)
 

@@ -103,3 +103,45 @@ def test_kabsch_from_features_uses_labels(rng):
         jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(feats), jnp.asarray(feats),
         jnp.asarray(labels))
     np.testing.assert_allclose(np.asarray(R_hat)[0], R, atol=1e-3)
+
+
+def test_irls_recovers_pose_under_outliers(rng):
+    """40% corrupted correspondences with UNIFORM prior weights: the plain
+    weighted solve is dragged off the pose; kabsch_irls recovers it (the
+    robustness upgrade the reference's single-solve eval head lacks)."""
+    src = rng.standard_normal((2, 200, 3)).astype(np.float32)
+    R, t = _random_pose(rng)
+    tgt = src @ R.T + t
+    tgt[:, 120:] = rng.standard_normal((2, 80, 3)) * 5  # 40% outliers
+    w = np.ones((2, 200), np.float32)
+
+    R_plain, t_plain = kabsch.kabsch_weighted(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w))
+    assert np.abs(np.asarray(R_plain)[0] - R).max() > 0.05  # off the pose
+
+    for kernel in ("geman", "cauchy", "huber"):
+        R_hat, t_hat, w_hat = kabsch.kabsch_irls(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w), iters=5,
+            kernel=kernel)
+        np.testing.assert_allclose(np.asarray(R_hat)[0], R, atol=2e-3,
+                                   err_msg=kernel)
+        np.testing.assert_allclose(np.asarray(t_hat)[0], t, atol=2e-3,
+                                   err_msg=kernel)
+        # outliers got down-weighted relative to inliers
+        w_hat = np.asarray(w_hat)
+        assert w_hat[:, 120:].mean() < 0.1 * w_hat[:, :120].mean()
+
+
+def test_irls_jit_and_degenerate(rng):
+    """Fixed-length scan jits cleanly; all-zero weights degrade to (I, 0);
+    unknown kernel raises."""
+    src = rng.standard_normal((1, 64, 3)).astype(np.float32)
+    f = jax.jit(lambda s, tg, w: kabsch.kabsch_irls(s, tg, w, iters=3))
+    R, t, _ = f(jnp.asarray(src), jnp.asarray(src + 0.1),
+                jnp.zeros((1, 64), jnp.float32))
+    np.testing.assert_allclose(np.asarray(R)[0], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t)[0], 0.0, atol=1e-6)
+    import pytest
+    with pytest.raises(ValueError, match="IRLS kernel"):
+        kabsch.kabsch_irls(src, src, np.ones((1, 64), np.float32),
+                           kernel="nope")

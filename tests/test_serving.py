@@ -256,3 +256,33 @@ def test_registrar_data_parallel_mesh(rng):
     R3, t3, i3 = sharded.register(src[0], feat[0], tgt[0], feat[0])
     assert R3.shape == (3, 3) and i3["pose_covariance"].shape == (6, 6)
     np.testing.assert_allclose(R3, R1[0], atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="reference ckpt absent")
+def test_registrar_irls_refinement_recovers_outlier_pair(rng):
+    """refine_iters: 30% corrupted correspondences drag the reference
+    weighting off the pose; IRLS refinement inside the same jitted program
+    recovers it."""
+    from se3_equi_graph_registration_tpu.serving import Registrar
+
+    n = 256
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    feat = rng.standard_normal((n, 32)).astype(np.float32)
+    tgt = src + 0.1
+    tgt[180:] = rng.standard_normal((n - 180, 3)).astype(np.float32) * 3
+
+    base = Registrar.from_checkpoint(CKPT, fast=False, num_nodes=n, k=8,
+                                     top_k=64)
+    R0, t0, _ = base.register(src, feat, tgt, feat)
+    err0 = max(np.abs(R0 - np.eye(3)).max(), np.abs(t0 - 0.1).max())
+
+    ref = Registrar(base.params, base.cfg, refine_iters=5)
+    R1, t1, _ = ref.register(src, feat, tgt, feat)
+    err1 = max(np.abs(R1 - np.eye(3)).max(), np.abs(t1 - 0.1).max())
+    assert err1 < 5e-3, (err0, err1)
+    assert err1 < err0 / 10
+
+    # clean pair: refinement must not disturb an already-correct pose
+    Rc, tc, _ = ref.register(src, feat, src + 0.1, feat)
+    np.testing.assert_allclose(Rc, np.eye(3), atol=1e-3)
+    np.testing.assert_allclose(tc, 0.1, atol=1e-3)
