@@ -102,6 +102,11 @@ class EngineConfig:
                                     # 26 cm -> 0.05 cm at 70% inliers on
                                     # the shipped ckpt — pose_head.py)
     fusion_temp: float = 0.1        # 'sharp' softmax temperature
+    refine_iters: int = 0           # >0: IRLS robust pose refinement after
+                                    # the head (ops/kabsch.kabsch_irls) in
+                                    # eval/serving — rescues low-inlier pairs
+                                    # (BASELINE.md table); 0 = parity
+    refine_kernel: str = "geman"    # IRLS kernel: 'geman'|'cauchy'|'huber'
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -307,9 +312,16 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
 
     def step(params, batch):
         out = _apply_with_graphs(model, cfg, params, batch)
-        b = out.R.shape[0]
-        pred = jnp.tile(jnp.eye(4, dtype=out.R.dtype)[None], (b, 1, 1))
-        pred = pred.at[:, :3, :3].set(out.R).at[:, :3, 3].set(out.t)
+        R, t = out.R, out.t
+        if cfg.refine_iters > 0:
+            from ..ops.kabsch import kabsch_irls
+            R, t, _ = kabsch_irls(batch["src_pts"], batch["tgt_pts"],
+                                  out.weights, iters=cfg.refine_iters,
+                                  kernel=cfg.refine_kernel,
+                                  solver=cfg.kabsch_solver)
+        b = R.shape[0]
+        pred = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (b, 1, 1))
+        pred = pred.at[:, :3, :3].set(R).at[:, :3, 3].set(t)
         rot_err, trans_err = metrics_lib.calculate_pose_error(batch["gt_pose"], pred)
         recall, precision = metrics_lib.registration_recall(
             pred, batch["src_pts"], batch["tgt_pts"])
