@@ -228,6 +228,9 @@ def main(argv=None):
     from ..parallel.distributed import init_distributed
     init_distributed()
     cfg, args = parse_cli(rest, description=f"{command} entry point")
+    if cfg.run.compile_cache:
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(cfg.run.compile_cache)
     if command == "train":
         cmd_train(cfg, args)
     elif command == "export":

@@ -43,6 +43,10 @@ class RunConfig:
                                       # mesh, parallel/point_sharding.py)
     halo: int = 0                     # >0 with point_parallel: halo-exchange
                                       # comm regime (O(halo) ICI traffic)
+    compile_cache: str = ""           # non-empty: persistent XLA compilation
+                                      # cache dir — restarts reload compiled
+                                      # executables instead of recompiling
+                                      # (utils/compile_cache.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,8 +132,10 @@ def parse_cli(argv: Optional[list[str]] = None,
     ap.add_argument("--preset", default="3dmatch",
                     choices=["3dmatch", "kitti", "synthetic"])
     ap.add_argument("--config", default=None, help="JSON config file")
-    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
-                    help="dotted overrides, e.g. engine.lr=3e-4")
+    ap.add_argument("--set", nargs="*", action="extend", default=[],
+                    metavar="KEY=VALUE",
+                    help="dotted overrides, e.g. engine.lr=3e-4; repeatable "
+                         "(values accumulate across --set occurrences)")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint to evaluate / resume from (.pth converts)")
     ap.add_argument("--out", default=None,

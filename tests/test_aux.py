@@ -139,3 +139,33 @@ def test_kitti_poses_parser(tmp_path):
     assert poses.shape == (4, 4, 4)
     np.testing.assert_allclose(poses[0, :3, 3], [1, 2, 3])
     np.testing.assert_allclose(poses[0, 3], [0, 0, 0, 1])
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """enable_compilation_cache: a fresh process writes compiled executables
+    to the cache dir; a second process reuses them (cold-start fix for the
+    20-240 s production compiles). Subprocesses, because jit caches are
+    per-process in-memory."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from se3_equi_graph_registration_tpu.utils import "
+        "enable_compilation_cache\n"
+        f"enable_compilation_cache({str(tmp_path)!r}, "
+        "min_compile_time_secs=0.0)\n"
+        "import jax.numpy as jnp\n"
+        "print(float(jax.jit(lambda x: (x @ x).sum())"
+        "(jnp.ones((64, 64)))))\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run([sys.executable, "-c", prog], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr
+    entries = list(tmp_path.iterdir())
+    assert entries, "cache dir is empty after first compile"
+    r2 = subprocess.run([sys.executable, "-c", prog], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr
+    assert r1.stdout == r2.stdout

@@ -145,3 +145,18 @@ def test_cli_train_point_parallel(tmp_path):
     assert rows and "total" in rows[-1]
     import numpy as np
     assert np.isfinite(rows[-1]["total"])
+
+
+def test_repeated_set_flags_accumulate():
+    """Regression: repeated `--set` occurrences must ACCUMULATE (argparse
+    nargs='*' alone silently keeps only the last occurrence — earlier
+    overrides were dropped)."""
+    from se3_equi_graph_registration_tpu.train.config import parse_cli
+
+    cfg, _ = parse_cli(["--preset", "synthetic",
+                        "--set", "run.epochs=1",
+                        "--set", "run.compile_cache=/tmp/cc",
+                        "--set", "engine.lr=0.002"])
+    assert cfg.run.epochs == 1
+    assert cfg.run.compile_cache == "/tmp/cc"
+    assert cfg.engine.lr == 0.002
