@@ -116,7 +116,9 @@ class Registrar:
         reference (a 1.4k-line eval script that re-traces python every run)
         has no analog for. Weights stay OUTSIDE the artifact and are passed
         at call time, so one artifact serves every fine-tune of the same
-        architecture. `platforms` pins the target list (e.g. ``("tpu",)``);
+        architecture. Always exports the single-device program (abstract
+        specs carry no sharding), portable regardless of this Registrar's
+        `mesh`. `platforms` pins the target list (e.g. ``("tpu",)``);
         default = the platform exporting. Reload with
         :meth:`load_exported` — no model/config code needed at the
         deployment site, only jax.
