@@ -36,7 +36,8 @@ from .train.checkpoints import convert_reference_checkpoint
 class Registrar:
     def __init__(self, params, cfg: engine.EngineConfig,
                  head_mode: str = "eval_fusion", mesh=None,
-                 refine_iters: int = 0, refine_kernel: str = "geman"):
+                 refine_iters: int = 0, refine_kernel: str = "geman",
+                 spectral_topm: int = 0):
         """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair
         axis of every register() call is sharded over it (params replicated),
         scaling batch serving across chips with zero per-request collectives
@@ -46,7 +47,13 @@ class Registrar:
         `refine_iters>0` appends IRLS robust refinement (ops/kabsch.py
         kabsch_irls) to the head's pose inside the same jitted program —
         down-weights outlier correspondences by their residuals under the
-        current pose; the covariance then reflects the refined weights."""
+        current pose; the covariance then reflects the refined weights.
+
+        `spectral_topm>0` first REPLACES the head's Kabsch weights with the
+        spectral-matching consistency eigenvector over the top-M scoring
+        correspondences (ops/spectral.py) — the global inlier-cluster
+        locator for very low inlier ratios, composing with IRLS which then
+        polishes locally."""
         self.cfg = cfg
         self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
@@ -58,6 +65,14 @@ class Registrar:
         def _fwd(p, b):
             out = engine._apply_with_graphs(self.model, cfg, p, b)
             R, t, w = out.R, out.t, out.weights
+            if spectral_topm > 0:
+                from .ops.kabsch import kabsch_weighted
+                from .ops.spectral import spectral_match_weights
+                w = spectral_match_weights(
+                    b["src_pts"], b["tgt_pts"], w, top_m=spectral_topm,
+                    sigma=cfg.spectral_sigma, iters=cfg.spectral_iters)
+                R, t = kabsch_weighted(b["src_pts"], b["tgt_pts"], w,
+                                       solver=cfg.kabsch_solver)
             if refine_iters > 0:
                 R, t, w = kabsch_irls(b["src_pts"], b["tgt_pts"], w,
                                       iters=refine_iters,

@@ -107,6 +107,17 @@ class EngineConfig:
                                     # eval/serving — rescues low-inlier pairs
                                     # (BASELINE.md table); 0 = parity
     refine_kernel: str = "geman"    # IRLS kernel: 'geman'|'cauchy'|'huber'
+    spectral_topm: int = 0          # >0: spectral-matching consistency
+                                    # reweighting (ops/spectral.py) of the
+                                    # head's Kabsch weights in eval/serving —
+                                    # principal eigenvector of the top-M
+                                    # pairwise-consistency affinity; locates
+                                    # the inlier cluster even from the
+                                    # reference's near-uniform weighting.
+                                    # Composes with refine_iters (IRLS then
+                                    # polishes). 0 = parity
+    spectral_sigma: float = 0.09    # consistency scale (3DMatch recall tau)
+    spectral_iters: int = 12        # power-iteration length
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -312,11 +323,20 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
 
     def step(params, batch):
         out = _apply_with_graphs(model, cfg, params, batch)
-        R, t = out.R, out.t
+        R, t, w = out.R, out.t, out.weights
+        if cfg.spectral_topm > 0:
+            from ..ops.kabsch import kabsch_weighted
+            from ..ops.spectral import spectral_match_weights
+            w = spectral_match_weights(batch["src_pts"], batch["tgt_pts"], w,
+                                       top_m=cfg.spectral_topm,
+                                       sigma=cfg.spectral_sigma,
+                                       iters=cfg.spectral_iters)
+            R, t = kabsch_weighted(batch["src_pts"], batch["tgt_pts"], w,
+                                   solver=cfg.kabsch_solver)
         if cfg.refine_iters > 0:
             from ..ops.kabsch import kabsch_irls
-            R, t, _ = kabsch_irls(batch["src_pts"], batch["tgt_pts"],
-                                  out.weights, iters=cfg.refine_iters,
+            R, t, _ = kabsch_irls(batch["src_pts"], batch["tgt_pts"], w,
+                                  iters=cfg.refine_iters,
                                   kernel=cfg.refine_kernel,
                                   solver=cfg.kabsch_solver)
         b = R.shape[0]
