@@ -113,3 +113,15 @@ def test_serving_spectral_knob():
     assert np.all(np.isfinite(R)) and np.all(np.isfinite(t))
     rot, trans = _pose_errors(R, t, pb.gt_pose[0])
     assert trans < 0.10, (rot, trans)
+
+    # composes with mesh serving: the pair-axis-sharded registrar (padding
+    # 1 -> 8) must reproduce the single-device spectral+IRLS pose
+    if len(jax.devices()) >= 8:
+        from se3_equi_graph_registration_tpu.parallel.mesh import (
+            local_mesh_for_testing)
+        regm = Registrar(params, cfg, head_mode="train", spectral_topm=128,
+                         refine_iters=3, mesh=local_mesh_for_testing(8))
+        Rm, tm, _ = regm.register(pb.src_pts[0], pb.src_feat[0],
+                                  pb.tgt_pts[0], pb.tgt_feat[0])
+        np.testing.assert_allclose(Rm, R, atol=1e-5)
+        np.testing.assert_allclose(tm, t, atol=1e-5)
