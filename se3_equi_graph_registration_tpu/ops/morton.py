@@ -274,3 +274,34 @@ def window_recall(x: Array, k: int, tile: int = 128, window: int = 384,
     exact = np.asarray(knn_graph(xs, k))
     hits = sum(len(set(win[i]) & set(exact[i])) for i in range(win.shape[0]))
     return hits / exact.size
+
+
+def calibrate_window(clouds, k: int, target_recall: float = 0.90,
+                     tile: int = 128,
+                     candidates: tuple = (128, 256, 384, 512, 768, 1024),
+                     curve: str = "hilbert") -> tuple[int, float]:
+    """Pick the smallest `egnn_window` meeting a target edge recall.
+
+    `clouds`: one [N, 3] cloud or a sequence of them (recall averaged).
+    Returns (window, measured_recall) for the first candidate whose mean
+    window recall >= target_recall, else the largest candidate. Offline
+    host-side calibration — run once on a sample of the deployment's clouds
+    and pass the result as `EngineConfig(egnn_window=...)`. Rationale: the
+    window frontier is speed-flat but recall-sloped (BASELINE.md: W=256 →
+    2526 pairs/s @ 0.843 recall, W=512 → 2373 @ 0.924 at N=2048), so W
+    should be chosen for recall on REAL data, not guessed.
+    """
+    import numpy as np
+
+    arr = np.asarray(clouds)
+    batch = arr[None] if arr.ndim == 2 else arr
+    best = (candidates[-1], 0.0)
+    for w in sorted(candidates):
+        if w >= batch.shape[1]:      # window covers everything: exact
+            return int(w), 1.0
+        r = float(np.mean([window_recall(c, k, tile, w, curve)
+                           for c in batch]))
+        best = (int(w), r)
+        if r >= target_recall:
+            return best
+    return best

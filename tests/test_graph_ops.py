@@ -160,6 +160,18 @@ def test_morton_window_graph_invariants(rng):
     # hilbert should not be worse than morton on this cloud
     assert recall >= morton.window_recall(x, k, tile, window, curve="morton") - 0.02
 
+    # calibrate_window returns the smallest candidate meeting the target,
+    # with its measured recall; an unreachable target returns the largest
+    w_sel, r_sel = morton.calibrate_window(x, k, target_recall=0.80,
+                                           tile=tile,
+                                           candidates=(128, 256, 384))
+    assert w_sel in (128, 256, 384) and r_sel >= 0.80
+    assert morton.calibrate_window(x, k, target_recall=2.0, tile=tile,
+                                   candidates=(128, 256))[0] == 256
+    # a window covering the whole cloud is exact by construction
+    assert morton.calibrate_window(x, k, tile=tile,
+                                   candidates=(2048,)) == (2048, 1.0)
+
 
 def test_morton_batched_perm(rng):
     from se3_equi_graph_registration_tpu.ops import morton
