@@ -48,6 +48,9 @@ def main():
                     help="compiled point count (inputs are padded/sampled)")
     ap.add_argument("--parity", action="store_true",
                     help="exact/svd checkpoint-parity path instead of fast")
+    ap.add_argument("--robust", action="store_true",
+                    help="sharp weighting + spectral reweighting + IRLS "
+                         "(rescues low-inlier pairs; BASELINE.md tables)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -56,12 +59,14 @@ def main():
     from se3_equi_graph_registration_tpu.serving import Registrar
     if args.checkpoint:
         reg = Registrar.from_checkpoint(args.checkpoint, fast=not args.parity,
-                                        num_nodes=args.n)
+                                        robust=args.robust, num_nodes=args.n)
     else:
         import jax
         from se3_equi_graph_registration_tpu.train import engine
-        cfg = (engine.EngineConfig if args.parity else engine.fast_tpu_config)(
-            num_nodes=args.n, top_k=128)
+        base = (engine.robust_eval_config if args.robust
+                else engine.EngineConfig if args.parity
+                else engine.fast_tpu_config)
+        cfg = base(num_nodes=args.n, top_k=128)
         model = engine.build_model(cfg, head_mode="eval_fusion")
         k = np.zeros((1, args.n, cfg.k), np.int32)
         z = lambda *s: np.zeros(s, np.float32)

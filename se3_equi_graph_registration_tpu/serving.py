@@ -36,8 +36,9 @@ from .train.checkpoints import convert_reference_checkpoint
 class Registrar:
     def __init__(self, params, cfg: engine.EngineConfig,
                  head_mode: str = "eval_fusion", mesh=None,
-                 refine_iters: int = 0, refine_kernel: str = "geman",
-                 spectral_topm: int = 0):
+                 refine_iters: Optional[int] = None,
+                 refine_kernel: Optional[str] = None,
+                 spectral_topm: Optional[int] = None):
         """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair
         axis of every register() call is sharded over it (params replicated),
         scaling batch serving across chips with zero per-request collectives
@@ -53,7 +54,18 @@ class Registrar:
         spectral-matching consistency eigenvector over the top-M scoring
         correspondences (ops/spectral.py) — the global inlier-cluster
         locator for very low inlier ratios, composing with IRLS which then
-        polishes locally."""
+        polishes locally.
+
+        All three robustness knobs default to the matching EngineConfig
+        fields, so `from_checkpoint(..., spectral_topm=256, refine_iters=5)`
+        (or `engine.robust_eval_config()`) flows straight through; explicit
+        constructor args override the config."""
+        refine_iters = (cfg.refine_iters if refine_iters is None
+                        else refine_iters)
+        refine_kernel = (cfg.refine_kernel if refine_kernel is None
+                         else refine_kernel)
+        spectral_topm = (cfg.spectral_topm if spectral_topm is None
+                         else spectral_topm)
         self.cfg = cfg
         self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
@@ -94,8 +106,15 @@ class Registrar:
     @classmethod
     def from_checkpoint(cls, path: str, fast: bool = True,
                         num_nodes: int = 2048, head_mode: str = "eval_fusion",
-                        **cfg_overrides) -> "Registrar":
-        base = engine.fast_tpu_config if fast else engine.EngineConfig
+                        robust: bool = False, **cfg_overrides) -> "Registrar":
+        """`robust=True` selects `engine.robust_eval_config` (sharp fusion
+        weighting + spectral reweighting + IRLS — recall at the metric
+        ceiling down to 5% inliers, BASELINE.md); otherwise `fast` picks
+        between the throughput and checkpoint-parity configs."""
+        if robust:
+            base = engine.robust_eval_config
+        else:
+            base = engine.fast_tpu_config if fast else engine.EngineConfig
         cfg = base(num_nodes=num_nodes, **cfg_overrides)
         if path.endswith(".pth"):
             params = convert_reference_checkpoint(

@@ -46,6 +46,17 @@ def fast_tpu_config(**overrides) -> "EngineConfig":
     return EngineConfig(**kw)
 
 
+def robust_eval_config(**overrides) -> "EngineConfig":
+    """The full robust eval/serving stack on top of the fast config: 'sharp'
+    fusion weighting + spectral-matching inlier reweighting + IRLS pose
+    polish. Holds registration recall at its √(inlier-ratio) ceiling down to
+    5% inliers on the shipped checkpoint for +0.04 ms/pair (BASELINE.md
+    tables). Opt-in because each stage departs from reference parity."""
+    kw = dict(fusion_weighting="sharp", spectral_topm=256, refine_iters=5)
+    kw.update(overrides)
+    return fast_tpu_config(**kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Hyperparameters mirroring the reference defaults
