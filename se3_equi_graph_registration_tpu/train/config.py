@@ -142,9 +142,20 @@ def parse_cli(argv: Optional[list[str]] = None,
                     help="output path for the `export` command (.pth)")
     ap.add_argument("--epoch", type=int, default=0,
                     help="epoch stamp written by the `export` command")
+    ap.add_argument("--robust", action="store_true",
+                    help="eval/serving robustness stack: sharp fusion "
+                         "weighting + spectral reweighting + IRLS "
+                         "(= engine.fusion_weighting=sharp "
+                         "engine.spectral_topm=256 engine.refine_iters=5; "
+                         "BASELINE.md low-inlier tables)")
     args = ap.parse_args(argv)
 
     cfg = preset(args.preset)
+    if args.robust:
+        cfg = dataclasses.replace(
+            cfg, engine=dataclasses.replace(
+                cfg.engine, fusion_weighting="sharp", spectral_topm=256,
+                refine_iters=5))
     if args.config:
         cfg = from_file(args.config, cfg)
     overrides = {}

@@ -58,6 +58,19 @@ def test_fast_tpu_config_helper():
     assert cfg.kabsch_solver == "quaternion" and cfg.num_nodes == 512
 
 
+def test_robust_eval_config_and_cli_flag():
+    cfg = engine.robust_eval_config(num_nodes=512)
+    assert cfg.fusion_weighting == "sharp" and cfg.spectral_topm == 256
+    assert cfg.refine_iters == 5 and cfg.egnn_impl == "pallas"
+
+    # --robust sets the same knobs on any preset; explicit --set wins over it
+    ecfg, _ = cfg_lib.parse_cli(["--preset", "synthetic", "--robust",
+                                 "--set", "engine.spectral_topm=128"])
+    assert ecfg.engine.fusion_weighting == "sharp"
+    assert ecfg.engine.refine_iters == 5
+    assert ecfg.engine.spectral_topm == 128
+
+
 def test_remat_flag_runs(rng):
     import jax
     from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
