@@ -20,6 +20,19 @@ def test_register_pair_quickstart_runs():
     assert "rotation error" in out.stdout, out.stdout
 
 
+def test_register_pair_robust_flag_runs():
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv=['register_pair.py','--n','256','--robust'];"
+        f"exec(open(r'{root / 'examples' / 'register_pair.py'}').read())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=root,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "rotation error" in out.stdout, out.stdout
+
+
 def test_denoise_demo_runs():
     root = pathlib.Path(__file__).resolve().parents[1]
     code = (
