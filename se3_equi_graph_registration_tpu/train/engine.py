@@ -41,7 +41,8 @@ def fast_tpu_config(**overrides) -> "EngineConfig":
     the fused Pallas EGNN with windowed gathers at single-pass matmul
     precision, approx head k-selection, quaternion Kabsch."""
     kw = dict(egnn_impl="pallas", knn_method="morton", kabsch_solver="quaternion",
-              topk_method="approx", egnn_accurate=False, knn_packed=True)
+              topk_method="approx", egnn_accurate=False, knn_packed=True,
+              onehot_h_permute=True)
     kw.update(overrides)
     return EngineConfig(**kw)
 
@@ -97,6 +98,14 @@ class EngineConfig:
                                     # extraction keys — ~2x less VPU sweep
                                     # work; near-ties within ~2^-13 relative
                                     # d² may swap (window <= 1024 only)
+    onehot_h_permute: bool = False  # morton+pallas fast mode: permute h
+                                    # (sort AND unsort) as bf16 one-hot MXU
+                                    # matmuls instead of gathers — +11% fwd
+                                    # at B=64; h is bf16-rounded (the fast
+                                    # kernel rounds it anyway; coordinates
+                                    # keep the exact gather). Inactive in
+                                    # interpret/accurate modes (same gate as
+                                    # the kernel's cast_bf16)
     kabsch_solver: str = "svd"      # 'svd' | 'quaternion'
     topk_method: str = "exact"      # head top-k: 'exact' | 'approx'
     egnn_accurate: bool = True      # pallas matmul precision (fp32 vs bf16)
@@ -222,11 +231,21 @@ def _apply_morton_fast(model, cfg, params, batch):
         f"morton path needs N divisible by the kernel tile: N={n}, "
         f"tile={tile}, window={window}")
 
+    # bf16 one-hot MXU permutes for h (coordinates stay exact-gathered): only
+    # meaningful where the kernel is already rounding h to bf16 — fast
+    # compiled mode, same gate as the kernel's cast_bf16 (interpret/CPU keeps
+    # full fp32 numerics). Measured +11% forward at B=64 (BASELINE.md).
+    onehot_h = (cfg.onehot_h_permute and cfg.egnn_impl == "pallas"
+                and not cfg.egnn_accurate and not interp)
+
     def embed(h, x):
         # one fused key-value sort replaces argsort + gathers (and the
         # un-sort below is a sort keyed by perm) — both have scatter-free
         # custom VJPs; the generic gather transpose is a serial TPU scatter
         hs, xs, perm = morton.sort_by_curve(h, x, cfg.curve)
+        if onehot_h:
+            # replaces sort_by_curve's h gather (XLA prunes the unused one)
+            hs = morton.permute_rows_matmul(h, perm)
         if cfg.egnn_impl == "pallas" and not interp:
             # fused window-knn kernel (same neighbor sets/tie-breaks as the
             # XLA builder; tile must match the EGCL kernel's tile_t)
@@ -258,6 +277,11 @@ def _apply_morton_fast(model, cfg, params, batch):
             if cfg.remat:
                 fwd = jax.checkpoint(fwd)
             h2, x2 = fwd(hs, xs, nbr)
+        if onehot_h:
+            # h un-sorts on the MXU; x keeps the exact gather (its fp32
+            # bits are the Kabsch geometry)
+            (x2,) = morton.unsort_rows((x2,), perm)
+            return morton.permute_rows_matmul(h2, perm, invert=True), x2
         return morton.unsort_rows((h2, x2), perm)
 
     h_s, x_s = embed(batch["src_feat"], batch["src_pts"])

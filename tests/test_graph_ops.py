@@ -259,3 +259,60 @@ def test_sort_by_curve_zero_feature_columns(rng):
     np.testing.assert_array_equal(
         np.asarray(xs),
         np.asarray(jnp.take_along_axis(x, perm[..., None], axis=-2)))
+
+
+def test_permute_rows_matmul_semantics(rng):
+    """The bf16 one-hot MXU permute (morton.permute_rows_matmul) is an EXACT
+    row permutation for bf16-representable values — forward matches
+    take_along_axis, invert matches unsort_rows, and the two compose to
+    identity. (For general fp32 values it additionally rounds to bf16; the
+    engine only applies it to h on the bf16 kernel path.)"""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    b, n, c = 3, 256, 32
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    # bf16-representable features: integers in [-8, 8)
+    h = jnp.asarray(rng.integers(-8, 8, (b, n, c)), jnp.float32)
+    perm = morton.morton_perm(x, curve="hilbert")
+
+    hs = morton.permute_rows_matmul(h, perm)
+    want = jnp.take_along_axis(h, perm[..., None], axis=-2)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(want))
+
+    # invert=True matches unsort_rows' gather-by-inverse
+    (want_u,) = morton.unsort_rows((hs,), perm)
+    got_u = morton.permute_rows_matmul(hs, perm, invert=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(h))
+
+    # general fp32 values: permutation of the bf16-rounded tensor
+    hf = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    got_f = morton.permute_rows_matmul(hf, perm)
+    want_f = jnp.take_along_axis(hf.astype(jnp.bfloat16).astype(jnp.float32),
+                                 perm[..., None], axis=-2)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_permute_rows_matmul_gradients(rng):
+    """VJP of the one-hot permute = the transposed permute (scatter-free):
+    grads match the take_along_axis formulation on bf16-exact values."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    b, n, c = 2, 128, 8
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    h = jnp.asarray(rng.integers(-8, 8, (b, n, c)), jnp.float32)
+    w = jnp.asarray(rng.integers(-4, 4, (b, n, c)), jnp.float32)
+    perm = morton.morton_perm(x, curve="hilbert")
+
+    g_new = jax.grad(
+        lambda t: jnp.sum(morton.permute_rows_matmul(t, perm) * w))(h)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(jnp.take_along_axis(t, perm[..., None], -2) * w))(h)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+
+    g_inv = jax.grad(lambda t: jnp.sum(
+        morton.permute_rows_matmul(t, perm, invert=True) * w))(h)
+    inv = jnp.argsort(perm, axis=-1)
+    g_inv_ref = jax.grad(lambda t: jnp.sum(
+        jnp.take_along_axis(t, inv[..., None], -2) * w))(h)
+    np.testing.assert_array_equal(np.asarray(g_inv), np.asarray(g_inv_ref))
