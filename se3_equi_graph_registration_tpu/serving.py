@@ -38,7 +38,8 @@ class Registrar:
                  head_mode: str = "eval_fusion", mesh=None,
                  refine_iters: Optional[int] = None,
                  refine_kernel: Optional[str] = None,
-                 spectral_topm: Optional[int] = None):
+                 spectral_topm: Optional[int] = None,
+                 icp_iters: Optional[int] = None):
         """`mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair
         axis of every register() call is sharded over it (params replicated),
         scaling batch serving across chips with zero per-request collectives
@@ -56,8 +57,13 @@ class Registrar:
         locator for very low inlier ratios, composing with IRLS which then
         polishes locally.
 
-        All three robustness knobs default to the matching EngineConfig
-        fields, so `from_checkpoint(..., spectral_topm=256, refine_iters=5)`
+        `icp_iters>0` finishes with point-to-point ICP (ops/icp.py) — 1-NN
+        re-association by geometry each iteration, the classic fine-
+        registration stage (what reference users run open3d for), refining
+        through bad putative correspondences from the robust pose's basin.
+
+        All robustness knobs default to the matching EngineConfig fields, so
+        `from_checkpoint(..., spectral_topm=256, refine_iters=5)`
         (or `engine.robust_eval_config()`) flows straight through; explicit
         constructor args override the config."""
         refine_iters = (cfg.refine_iters if refine_iters is None
@@ -66,6 +72,7 @@ class Registrar:
                          else refine_kernel)
         spectral_topm = (cfg.spectral_topm if spectral_topm is None
                          else spectral_topm)
+        icp_iters = cfg.icp_iters if icp_iters is None else icp_iters
         self.cfg = cfg
         self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
@@ -90,12 +97,27 @@ class Registrar:
                                       iters=refine_iters,
                                       kernel=refine_kernel,
                                       solver=cfg.kabsch_solver)
+            cov_tgt = b["tgt_pts"]
+            if icp_iters > 0:
+                from .ops.icp import icp_refine, nearest_neighbor
+                R, t, w = icp_refine(b["src_pts"], b["tgt_pts"], R, t,
+                                     iters=icp_iters, tau=cfg.icp_tau,
+                                     solver=cfg.kabsch_solver,
+                                     prior_weights=w)
+                # ICP re-associates by geometry: the covariance must pair
+                # each source point with its NN target, not the (now stale)
+                # putative index-aligned correspondence
+                posed = (jnp.einsum("bij,bnj->bni", R, b["src_pts"])
+                         + t[:, None, :])
+                nn, _ = nearest_neighbor(posed, b["tgt_pts"])
+                cov_tgt = jnp.take_along_axis(b["tgt_pts"], nn[..., None],
+                                              axis=-2)
             # covariance AND the similarity reduction inside the SAME jitted
             # program — eagerly they cost per-op dispatches on the serving hot
             # path, and returning the full [B, N] similarity would drag a
             # large fetch over the host link (measured: the B=1 compute is
             # ~1.2 ms; every avoidable dispatch/fetch dwarfs it)
-            cov = pose_covariance(b["src_pts"], b["tgt_pts"], R, t, w)
+            cov = pose_covariance(b["src_pts"], cov_tgt, R, t, w)
             # per-pair similarity mean (a [B] vector): mesh-mode pads the
             # pair axis, so the batch reduction must happen AFTER the host
             # slices the padding off

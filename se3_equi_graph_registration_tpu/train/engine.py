@@ -138,6 +138,14 @@ class EngineConfig:
                                     # polishes). 0 = parity
     spectral_sigma: float = 0.09    # consistency scale (3DMatch recall tau)
     spectral_iters: int = 12        # power-iteration length
+    icp_iters: int = 0              # >0: point-to-point ICP fine registration
+                                    # after the head (+ spectral/IRLS if set)
+                                    # in eval/serving — re-associates by 1-NN
+                                    # geometry each iteration (ops/icp.py),
+                                    # so it refines through bad putative
+                                    # correspondences. 0 = parity
+    icp_tau: float = 0.0            # >0: hard NN-distance gate (trimmed ICP,
+                                    # meters); 0 = adaptive MAD-scaled Welsch
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -374,6 +382,11 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
                                   iters=cfg.refine_iters,
                                   kernel=cfg.refine_kernel,
                                   solver=cfg.kabsch_solver)
+        if cfg.icp_iters > 0:
+            from ..ops.icp import icp_refine
+            R, t, _ = icp_refine(batch["src_pts"], batch["tgt_pts"], R, t,
+                                 iters=cfg.icp_iters, tau=cfg.icp_tau,
+                                 solver=cfg.kabsch_solver)
         b = R.shape[0]
         pred = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (b, 1, 1))
         pred = pred.at[:, :3, :3].set(R).at[:, :3, 3].set(t)

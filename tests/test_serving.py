@@ -286,3 +286,36 @@ def test_registrar_irls_refinement_recovers_outlier_pair(rng):
     Rc, tc, _ = ref.register(src, feat, src + 0.1, feat)
     np.testing.assert_allclose(Rc, np.eye(3), atol=1e-3)
     np.testing.assert_allclose(tc, 0.1, atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="reference ckpt absent")
+def test_registrar_icp_fine_registration(rng):
+    """icp_iters: point-to-point ICP composes as the final serving stage.
+    Half the putative correspondences are index-SCRAMBLED (the failure IRLS
+    can only down-weight, never repair) while the geometry is intact — ICP
+    re-associates by 1-NN and recovers the exact pose; the covariance
+    (computed against NN-associated targets after re-association) stays
+    finite and PSD-scaled."""
+    from se3_equi_graph_registration_tpu.serving import Registrar
+
+    n = 256
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    feat = rng.standard_normal((n, 32)).astype(np.float32)
+    tgt = src + 0.1
+    # scramble the pairing of the back half: same surface, wrong indices
+    perm = np.concatenate([np.arange(128), 128 + rng.permutation(n - 128)])
+    tgt, tfeat = tgt[perm], feat[perm]
+
+    base = Registrar.from_checkpoint(CKPT, fast=False, num_nodes=n, k=8,
+                                     top_k=64)
+    R0, t0, _ = base.register(src, feat, tgt, tfeat)
+    err0 = max(np.abs(R0 - np.eye(3)).max(), np.abs(t0 - 0.1).max())
+
+    icp = Registrar(base.params, base.cfg, icp_iters=8)
+    R1, t1, info = icp.register(src, feat, tgt, tfeat)
+    err1 = max(np.abs(R1 - np.eye(3)).max(), np.abs(t1 - 0.1).max())
+    assert err1 < 1e-3, (err0, err1)
+    assert err1 <= err0 + 1e-6
+    cov = info["pose_covariance"]
+    assert cov.shape == (6, 6) and np.all(np.isfinite(cov))
+    assert np.all(np.linalg.eigvalsh((cov + cov.T) / 2) > -1e-12)
