@@ -142,6 +142,24 @@ def skew(v: Array) -> Array:
     return rows
 
 
+def matrix_exp_so3(w: Array) -> Array:
+    """Rodrigues exponential map: axis-angle vector [...,3] → rotation
+    [...,3,3]. Branch-free inverse of `matrix_log_so3`; NaN-safe at θ→0
+    (the sin θ/θ and (1−cos θ)/θ² coefficients switch to their Taylor
+    limits through `where` on a guarded θ, so gradients stay finite).
+    No reference analog — used by the point-to-plane ICP pose update
+    (ops/icp.py)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    K = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
 def matrix_log_so3(R: Array) -> Array:
     """Branch-free matrix logarithm of rotations [...,3,3] → [...,3,3].
 

@@ -1,4 +1,4 @@
-"""Batched, jittable point-to-point ICP refinement for TPU.
+"""Batched, jittable ICP refinement (point-to-point and point-to-plane) for TPU.
 
 The classic fine-registration stage a user of the reference gets from
 open3d's `registration_icp` AFTER running the network (the reference itself
@@ -12,9 +12,13 @@ formulation:
 - the loop is a fixed-length `lax.scan`; outlier rejection is a robust
   weight (hard `tau` gate or MAD-scaled kernel from ops/kabsch), never a
   data-dependent slice;
-- each solve is the absolute weighted Kabsch from the ORIGINAL source points
-  (no pose-composition drift), and an iteration whose weights all vanish
-  keeps the previous pose instead of degrading to (I, 0).
+- each point-mode solve is the absolute weighted Kabsch from the ORIGINAL
+  source points (no pose-composition drift), and an iteration whose weights
+  all vanish keeps the previous pose instead of degrading to (I, 0);
+- plane mode (mode='plane') solves the damped 6x6 point-to-plane normal
+  equations per step against target PCA normals (`estimate_normals` — one
+  MXU distance matmul + top_k + batched svd3), for the scan-matching regime
+  where src and tgt sample the surface at different points.
 
 Unlike `kabsch_irls` (which reweights the NETWORK's putative correspondence
 set), ICP re-associates by geometry — it refines through bad or sparse
@@ -29,11 +33,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.se3 import matrix_exp_so3
 from .kabsch import _IRLS_KERNELS, kabsch_weighted
+from .svd3 import svd3
 
 Array = jax.Array
 
-__all__ = ["icp_refine", "nearest_neighbor"]
+__all__ = ["icp_refine", "nearest_neighbor", "estimate_normals"]
 
 
 def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
@@ -53,53 +59,114 @@ def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
     return idx, jnp.maximum(dmin, 0.0)
 
 
+def estimate_normals(points: Array, k: int = 16) -> Array:
+    """Unit PCA normals [..., M, 3] (sign-arbitrary) of points [..., M, 3].
+
+    TPU-native: the k-neighborhoods come from one MXU distance matmul +
+    `lax.top_k` (static shapes), the per-point 3x3 covariance from one fused
+    einsum, and the smallest-variance eigenvector from the batched
+    `ops/svd3` (degenerate-safe gradients). Point-to-plane ICP only uses the
+    normal quadratically / in products that square out, so the sign
+    ambiguity is irrelevant there; orient explicitly if you need a field.
+    Degenerate (zero-spread) neighborhoods return a unit vector, not NaN.
+    """
+    p = points.astype(jnp.float32)
+    cross = jnp.einsum("...nd,...md->...nm", p, p)
+    d2 = (jnp.sum(p * p, axis=-1)[..., :, None]
+          - 2.0 * cross + jnp.sum(p * p, axis=-1)[..., None, :])
+    _, idx = jax.lax.top_k(-d2, k)                        # [..., M, K]
+    nb = jnp.take_along_axis(p[..., None, :, :], idx[..., None], axis=-2)
+    centered = nb - jnp.mean(nb, axis=-2, keepdims=True)  # [..., M, K, 3]
+    C = jnp.einsum("...kc,...kd->...cd", centered, centered) / k
+    U, _, _ = svd3(C)                # symmetric: smallest-sigma left vector
+    n = U[..., :, 2]
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
 def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
                tau: float = 0.0, kernel: str = "welsch",
                min_sigma: float = 1e-3, solver: str = "svd",
-               prior_weights: Array | None = None
+               prior_weights: Array | None = None, mode: str = "point",
+               tgt_normals: Array | None = None, normals_k: int = 16
                ) -> tuple[Array, Array, Array]:
-    """Point-to-point ICP from an initial pose (R [..., 3, 3], t [..., 3]).
+    """ICP from an initial pose (R [..., 3, 3], t [..., 3]).
 
     src [..., N, 3] and tgt [..., M, 3] are CLOUDS, not index-aligned
     correspondences — each of the `iters` scan steps re-associates the posed
-    source with its nearest target point and re-solves the weighted Kabsch.
+    source with its nearest target point and re-solves.
+
+    mode='point' minimizes point-to-point distances with a weighted Kabsch
+    solve. mode='plane' minimizes point-to-PLANE residuals n·(x − y) against
+    the target's PCA normals (`tgt_normals`, or `estimate_normals(tgt,
+    normals_k)` computed once up front): each step linearizes about the
+    current pose and solves the damped 6×6 normal equations for [δω, δt],
+    applying δω through the exact Rodrigues map (core/se3.matrix_exp_so3).
+    Plane mode converges where point mode stalls — surfaces sampled at
+    DIFFERENT points in src and tgt (no exact counterparts), the standard
+    scan-matching regime; it is what open3d users pick for the same reason.
 
     Correspondence weights per iteration: `prior_weights` (e.g. the head's
-    inlier weights over src; default ones) times a robust factor of the NN
-    distance — `tau > 0` gates hard at that radius (trimmed ICP with static
-    shapes); `tau == 0` uses the MAD-scaled `kernel` ('welsch' | 'huber' |
-    'cauchy' | 'geman', ops/kabsch._IRLS_KERNELS) so the trim radius adapts
-    to the current residual scale. Returns (R, t, final_weights). NaN-safe:
-    an all-rejected iteration keeps the previous pose.
+    inlier weights over src; default ones) times a robust factor of the
+    residual (NN distance in point mode, |plane residual| in plane mode) —
+    `tau > 0` gates hard at that radius (trimmed ICP with static shapes);
+    `tau == 0` uses the MAD-scaled `kernel` ('welsch' | 'huber' | 'cauchy' |
+    'geman', ops/kabsch._IRLS_KERNELS) so the trim adapts to the current
+    residual scale. Returns (R, t, final_weights). NaN-safe: an all-rejected
+    iteration keeps the previous pose (point mode via an explicit `where`;
+    plane mode because the damped system then returns δ = 0).
     """
     kernels = dict(_IRLS_KERNELS,
                    welsch=lambda u: jnp.exp(-(u * u)))
     if kernel not in kernels:
         raise ValueError(f"unknown ICP kernel {kernel!r}; "
                          f"expected one of {sorted(kernels)}")
+    if mode not in ("point", "plane"):
+        raise ValueError(f"unknown ICP mode {mode!r}; "
+                         "expected 'point' or 'plane'")
     kfn = kernels[kernel]
 
     srcf = src.astype(jnp.float32)
     tgtf = tgt.astype(jnp.float32)
     w0 = (jnp.ones(srcf.shape[:-1], jnp.float32) if prior_weights is None
           else prior_weights.astype(jnp.float32))
+    if mode == "plane":
+        normals = (estimate_normals(tgtf, k=normals_k) if tgt_normals is None
+                   else tgt_normals.astype(jnp.float32))
+
+    def robust(resid):
+        if tau > 0:
+            return w0 * (resid <= tau)
+        med = jnp.median(resid, axis=-1, keepdims=True)
+        s = 1.4826 * jnp.median(jnp.abs(resid - med), axis=-1, keepdims=True)
+        return w0 * kfn(resid / jnp.maximum(s, min_sigma))
 
     def body(carry, _):
         R_, t_ = carry
         x = jnp.einsum("...ij,...nj->...ni", R_, srcf) + t_[..., None, :]
         nn, d2 = nearest_neighbor(x, tgtf)
-        d = jnp.sqrt(d2)
-        if tau > 0:
-            w = w0 * (d <= tau)
-        else:
-            med = jnp.median(d, axis=-1, keepdims=True)
-            s = 1.4826 * jnp.median(jnp.abs(d - med), axis=-1, keepdims=True)
-            w = w0 * kfn(d / jnp.maximum(s, min_sigma))
         y = jnp.take_along_axis(tgtf, nn[..., None], axis=-2)
-        R2, t2 = kabsch_weighted(srcf, y, w, solver=solver)
-        ok = jnp.sum(w, axis=-1) > 0
-        R2 = jnp.where(ok[..., None, None], R2, R_)
-        t2 = jnp.where(ok[..., None], t2, t_)
+        if mode == "point":
+            w = robust(jnp.sqrt(d2))
+            R2, t2 = kabsch_weighted(srcf, y, w, solver=solver)
+            ok = jnp.sum(w, axis=-1) > 0
+            R2 = jnp.where(ok[..., None, None], R2, R_)
+            t2 = jnp.where(ok[..., None], t2, t_)
+        else:
+            n = jnp.take_along_axis(normals, nn[..., None], axis=-2)
+            r = jnp.sum(n * (x - y), axis=-1)                  # [..., N]
+            w = robust(jnp.abs(r))
+            a = jnp.concatenate([jnp.cross(x, n), n], axis=-1)  # [..., N, 6]
+            A = jnp.einsum("...n,...ni,...nj->...ij", w, a, a)
+            rhs = -jnp.einsum("...ni,...n->...i", a, w * r)
+            # scale-aware Tikhonov: all-zero weights (or a degenerate
+            # neighborhood) solve to delta = 0, keeping the pose
+            damp = 1e-8 * jnp.trace(A, axis1=-2, axis2=-1) / 6.0 + 1e-12
+            A = A + damp[..., None, None] * jnp.eye(6, dtype=A.dtype)
+            delta = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+            Rd = matrix_exp_so3(delta[..., :3])
+            R2 = Rd @ R_
+            t2 = (jnp.einsum("...ij,...j->...i", Rd, t_)
+                  + delta[..., 3:])
         return (R2, t2), w
 
     (R, t), ws = jax.lax.scan(

@@ -102,6 +102,7 @@ class Registrar:
                 from .ops.icp import icp_refine, nearest_neighbor
                 R, t, w = icp_refine(b["src_pts"], b["tgt_pts"], R, t,
                                      iters=icp_iters, tau=cfg.icp_tau,
+                                     mode=cfg.icp_mode,
                                      solver=cfg.kabsch_solver,
                                      prior_weights=w)
                 # ICP re-associates by geometry: the covariance must pair

@@ -146,6 +146,11 @@ class EngineConfig:
                                     # correspondences. 0 = parity
     icp_tau: float = 0.0            # >0: hard NN-distance gate (trimmed ICP,
                                     # meters); 0 = adaptive MAD-scaled Welsch
+    icp_mode: str = "point"         # 'point' (weighted Kabsch) | 'plane'
+                                    # (point-to-plane Gauss-Newton against
+                                    # target PCA normals — converges on
+                                    # differently-sampled surfaces where
+                                    # point mode stalls)
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -386,7 +391,7 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
             from ..ops.icp import icp_refine
             R, t, _ = icp_refine(batch["src_pts"], batch["tgt_pts"], R, t,
                                  iters=cfg.icp_iters, tau=cfg.icp_tau,
-                                 solver=cfg.kabsch_solver)
+                                 mode=cfg.icp_mode, solver=cfg.kabsch_solver)
         b = R.shape[0]
         pred = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (b, 1, 1))
         pred = pred.at[:, :3, :3].set(R).at[:, :3, 3].set(t)

@@ -140,3 +140,107 @@ def test_eval_step_with_icp_runs(rng):
     m = engine.make_eval_step(model, cfg)(params, batch)
     for key, v in m.items():
         assert np.all(np.isfinite(np.asarray(v))), key
+
+
+def test_matrix_exp_so3_roundtrip(rng):
+    """exp is the inverse of the log map (core/se3), exact rotations come
+    out orthonormal, and theta -> 0 is NaN-free including gradients."""
+    from se3_equi_graph_registration_tpu.core import se3
+
+    w = rng.standard_normal((8, 3)).astype(np.float32)
+    R = se3.matrix_exp_so3(jnp.asarray(w))
+    RtR = np.einsum("bij,bik->bjk", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (8, 3, 3)),
+                               atol=1e-5)
+    # log(exp(w)) recovers the skew of w (angles drawn well below pi)
+    w_small = 0.3 * w / np.linalg.norm(w, axis=-1, keepdims=True)
+    logR = se3.matrix_log_so3(se3.matrix_exp_so3(jnp.asarray(w_small)))
+    K = np.asarray(se3.skew(jnp.asarray(w_small)))
+    np.testing.assert_allclose(np.asarray(logR), K, atol=1e-5)
+
+    # zero vector: identity, finite gradient
+    z = jnp.zeros((3,))
+    np.testing.assert_allclose(np.asarray(se3.matrix_exp_so3(z)), np.eye(3),
+                               atol=1e-7)
+    g = jax.grad(lambda v: jnp.sum(se3.matrix_exp_so3(v)))(z)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_estimate_normals_plane(rng):
+    """Points on a tilted noisy plane: every PCA normal aligns with the
+    plane normal (up to sign)."""
+    n_true = np.array([1.0, 2.0, -0.5])
+    n_true /= np.linalg.norm(n_true)
+    basis = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    u, v = basis[:, 0], basis[:, 1] - basis[:, 1].dot(n_true) * n_true
+    u = u - u.dot(n_true) * n_true
+    u /= np.linalg.norm(u)
+    v /= np.linalg.norm(v)
+    ab = rng.uniform(-1, 1, (2, 400, 2)).astype(np.float32)
+    pts = (ab[..., :1] * u + ab[..., 1:] * v
+           + rng.standard_normal((2, 400, 3)) * 1e-3).astype(np.float32)
+
+    nrm = np.asarray(icp.estimate_normals(jnp.asarray(pts), k=12))
+    align = np.abs(nrm @ n_true)
+    assert align.min() > 0.99, align.min()
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+
+    # degenerate: all-identical points stay finite and unit
+    same = np.zeros((1, 32, 3), np.float32)
+    nd = np.asarray(icp.estimate_normals(jnp.asarray(same), k=8))
+    assert np.all(np.isfinite(nd))
+    np.testing.assert_allclose(np.linalg.norm(nd, axis=-1), 1.0, atol=1e-5)
+
+
+def _surface_points(rng, n):
+    # height field z = 0.5 sin(2x) cos(2y): normal variation in every
+    # direction, so all 6 pose DOF are observable (a sphere would leave
+    # rotation about its center unconstrained)
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = 0.5 * np.sin(2.0 * xy[:, 0]) * np.cos(2.0 * xy[:, 1])
+    return np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+
+
+def test_icp_plane_mode_differently_sampled_surface(rng):
+    """The scan-matching regime: src and tgt sample the SAME surface at
+    DIFFERENT points, so no exact counterparts exist. Plane mode lands well
+    inside the sampling density (measured 0.02 deg / 0.2 mm); point mode
+    stalls an order of magnitude coarser on the identical problem — the
+    classic reason point-to-plane exists."""
+    src = _surface_points(rng, 512)[None]
+    R, t = _pose(rng, scale=0.1)
+    tgt = (_surface_points(rng, 512) @ R.T + t)[None]
+    R0, t0 = _perturb(R, t, rng, deg=6.0, trans=0.05)
+
+    Rp, tp, _ = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                               jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                               iters=20, mode="plane", normals_k=12)
+    rot_p = _rot_angle_deg(np.asarray(Rp)[0], R)
+    trans_p = np.linalg.norm(np.asarray(tp)[0] - t)
+    assert rot_p < 0.2, rot_p
+    assert trans_p < 2e-3, trans_p
+
+    Rq, tq, _ = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                               jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                               iters=20, mode="point")
+    trans_q = np.linalg.norm(np.asarray(tq)[0] - t)
+    assert trans_p < trans_q / 5, (trans_p, trans_q)
+
+
+def test_icp_plane_all_rejected_keeps_pose(rng):
+    src = _surface_points(rng, 64)[None]
+    tgt = src + 50.0
+    R0, t0 = _pose(rng)
+    R, t, w = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                             jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                             iters=3, tau=0.01, mode="plane")
+    np.testing.assert_allclose(np.asarray(R)[0], R0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t)[0], t0, atol=1e-5)
+    assert np.all(np.asarray(w) == 0)
+
+
+def test_icp_rejects_unknown_mode(rng):
+    src = jnp.zeros((1, 8, 3))
+    with pytest.raises(ValueError, match="unknown ICP mode"):
+        icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
+                       mode="bogus")
