@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..core.se3 import matrix_exp_so3
 from .kabsch import _IRLS_KERNELS, kabsch_weighted
-from .svd3 import svd3
+
 
 Array = jax.Array
 
@@ -60,27 +60,21 @@ def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
 
 
 def estimate_normals(points: Array, k: int = 16) -> Array:
-    """Unit PCA normals [..., M, 3] (sign-arbitrary) of points [..., M, 3].
+    """Unit PCA normals [..., M, 3] of points [..., M, 3].
 
-    TPU-native: the k-neighborhoods come from one MXU distance matmul +
-    `lax.top_k` (static shapes), the per-point 3x3 covariance from one fused
-    einsum, and the smallest-variance eigenvector from the batched
-    `ops/svd3` (degenerate-safe gradients). Point-to-plane ICP only uses the
-    normal quadratically / in products that square out, so the sign
-    ambiguity is irrelevant there; orient explicitly if you need a field.
-    Degenerate (zero-spread) neighborhoods return a unit vector, not NaN.
+    Batched wrapper over the shared PCA-normal core in ops/fpfh
+    (k-NN neighborhoods + smallest singular vector of the neighborhood
+    covariance via the degenerate-safe `ops/svd3`). The fpfh variant's
+    viewpoint orientation is harmless here: point-to-plane ICP only uses the
+    normal in products that square out, so the sign is irrelevant — orient
+    explicitly if you need a consistent field. Degenerate (zero-spread)
+    neighborhoods return a unit vector, not NaN.
     """
+    from .fpfh import estimate_normals as _normals_single
     p = points.astype(jnp.float32)
-    cross = jnp.einsum("...nd,...md->...nm", p, p)
-    d2 = (jnp.sum(p * p, axis=-1)[..., :, None]
-          - 2.0 * cross + jnp.sum(p * p, axis=-1)[..., None, :])
-    _, idx = jax.lax.top_k(-d2, k)                        # [..., M, K]
-    nb = jnp.take_along_axis(p[..., None, :, :], idx[..., None], axis=-2)
-    centered = nb - jnp.mean(nb, axis=-2, keepdims=True)  # [..., M, K, 3]
-    C = jnp.einsum("...kc,...kd->...cd", centered, centered) / k
-    U, _, _ = svd3(C)                # symmetric: smallest-sigma left vector
-    n = U[..., :, 2]
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    flat = p.reshape((-1,) + p.shape[-2:])
+    out = jax.vmap(lambda c: _normals_single(c, k=k))(flat)
+    return out.reshape(p.shape)
 
 
 def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
