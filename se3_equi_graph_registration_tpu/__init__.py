@@ -8,4 +8,4 @@ train/eval engine, and a distribution layer the reference never had.
 """
 __version__ = "0.1.0"
 
-from . import core, data, models, ops, train  # noqa: F401
+from . import core, data, models, ops, registration, train  # noqa: F401

@@ -49,23 +49,43 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     return (sums / counts[:, None]).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "orient"))
 def estimate_normals(x: Array, k: int = 30,
-                     viewpoint: Array | None = None) -> Array:
-    """Unit normals [N, 3] from k-NN PCA, oriented toward `viewpoint`
-    (default: the origin, open3d's orient_normals_towards_camera_location
-    default for depth-sensor clouds)."""
+                     viewpoint: Array | None = None,
+                     orient: str = "viewpoint") -> Array:
+    """Unit normals [N, 3] from k-NN PCA.
+
+    orient='viewpoint' (default) points them toward `viewpoint` (default:
+    the origin — open3d's orient_normals_towards_camera_location semantics
+    for depth-sensor clouds). That orientation is FRAME-DEPENDENT: the same
+    surface rigidly moved gets a different sign pattern, which scrambles
+    sign-sensitive descriptors (FPFH's Darboux angles) across the two clouds
+    of a registration pair unless the caller supplies each cloud's true
+    sensor origin. orient='local' instead points each normal away from its
+    own neighborhood centroid — an intrinsic, pose-EQUIVARIANT orientation
+    (rotating the cloud rotates the signs with it), which is what the
+    checkpoint-free matcher (registration.py) uses so descriptors agree
+    between frames with no pose or sensor knowledge. Signs at locally flat /
+    symmetric points are noise-determined under either policy.
+    """
     n = x.shape[0]
     nbr = knn_graph(x, min(k, n))                       # [N, K] incl. self
     nbh = x[nbr]                                        # [N, K, 3]
-    centered = nbh - jnp.mean(nbh, axis=1, keepdims=True)
+    mean = jnp.mean(nbh, axis=1, keepdims=True)
+    centered = nbh - mean
     cov = jnp.einsum("nka,nkb->nab", centered, centered)
     # smallest right-singular vector of the (symmetric PSD) covariance
     _, s, vt = svd3(cov)
     normals = vt[:, 2, :]                               # singular values desc
-    vp = jnp.zeros((3,), x.dtype) if viewpoint is None else viewpoint
-    to_vp = vp[None, :] - x
-    sign = jnp.where(jnp.sum(normals * to_vp, axis=-1) < 0.0, -1.0, 1.0)
+    if orient == "local":
+        ref = x - mean[:, 0, :]          # away from local surface mass
+    elif orient == "viewpoint":
+        vp = jnp.zeros((3,), x.dtype) if viewpoint is None else viewpoint
+        ref = vp[None, :] - x
+    else:
+        raise ValueError(f"unknown orient {orient!r}; "
+                         "expected 'viewpoint' or 'local'")
+    sign = jnp.where(jnp.sum(normals * ref, axis=-1) < 0.0, -1.0, 1.0)
     return normals * sign[:, None]
 
 

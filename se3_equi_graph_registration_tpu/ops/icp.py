@@ -81,8 +81,8 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
                tau: float = 0.0, kernel: str = "welsch",
                min_sigma: float = 1e-3, solver: str = "svd",
                prior_weights: Array | None = None, mode: str = "point",
-               tgt_normals: Array | None = None, normals_k: int = 16
-               ) -> tuple[Array, Array, Array]:
+               tgt_normals: Array | None = None, normals_k: int = 16,
+               trim: float = 0.0) -> tuple[Array, Array, Array]:
     """ICP from an initial pose (R [..., 3, 3], t [..., 3]).
 
     src [..., N, 3] and tgt [..., M, 3] are CLOUDS, not index-aligned
@@ -105,7 +105,11 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     `tau > 0` gates hard at that radius (trimmed ICP with static shapes);
     `tau == 0` uses the MAD-scaled `kernel` ('welsch' | 'huber' | 'cauchy' |
     'geman', ops/kabsch._IRLS_KERNELS) so the trim adapts to the current
-    residual scale. Returns (R, t, final_weights). NaN-safe: an all-rejected
+    residual scale; `trim ∈ (0, 1)` instead keeps the best `trim`-fraction
+    of residuals each iteration (overlap-fraction trimmed ICP — the right
+    tool when MOST source points have no counterpart, where a MAD scale is
+    itself corrupted; classic TrICP semantics with static shapes via
+    jnp.quantile). Returns (R, t, final_weights). NaN-safe: an all-rejected
     iteration keeps the previous pose (point mode via an explicit `where`;
     plane mode because the damped system then returns δ = 0).
     """
@@ -127,9 +131,15 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
         normals = (estimate_normals(tgtf, k=normals_k) if tgt_normals is None
                    else tgt_normals.astype(jnp.float32))
 
+    if not 0.0 <= trim < 1.0:
+        raise ValueError(f"trim must be in [0, 1), got {trim}")
+
     def robust(resid):
         if tau > 0:
             return w0 * (resid <= tau)
+        if trim > 0:
+            cut = jnp.quantile(resid, trim, axis=-1, keepdims=True)
+            return w0 * (resid <= cut)
         med = jnp.median(resid, axis=-1, keepdims=True)
         s = 1.4826 * jnp.median(jnp.abs(resid - med), axis=-1, keepdims=True)
         return w0 * kfn(resid / jnp.maximum(s, min_sigma))

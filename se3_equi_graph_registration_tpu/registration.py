@@ -1,0 +1,154 @@
+"""Checkpoint-free classic global registration, end to end on TPU.
+
+The reference framework always registers through the learned model; its users
+fall back to open3d (FPFH + RANSAC, then ICP) when no checkpoint fits the
+domain. This module composes that entire classic pipeline from the
+framework's own TPU-native pieces — no open3d, no torch, one jitted program:
+
+    FPFH-33 descriptors (ops/fpfh, MXU one-hot histograms)
+      -> mutual-nearest feature matching (one [N, M] MXU matmul each way)
+      -> spectral-matching consistency weights (ops/spectral — the jittable
+         replacement for RANSAC hypothesis loops)
+      -> weighted Kabsch + IRLS polish (ops/kabsch)
+      -> point-to-plane ICP fine registration (ops/icp)
+
+Every stage is fixed-shape (pad/sample to `n_points` on the host, exactly
+like serving.Registrar), so the whole pipeline compiles once and reruns at
+device speed. Complements the learned path: use this when there is no
+usable checkpoint, or as a geometric cross-check on the network's pose.
+"""
+from __future__ import annotations
+
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import fpfh as fpfh_lib
+from .ops.icp import icp_refine
+from .ops.kabsch import kabsch_irls, kabsch_weighted, pose_covariance
+from .ops.spectral import spectral_match_weights
+
+Array = jax.Array
+
+__all__ = ["register_fpfh", "match_features"]
+
+
+def match_features(src_feat: Array, tgt_feat: Array
+                   ) -> tuple[Array, Array, Array]:
+    """Mutual-nearest-neighbor feature matching.
+
+    Returns (j_of_i [N] int32 — each source row's nearest target row in
+    descriptor space, mutual [N] bool — true where the match is reciprocal,
+    dist [N] — its feature distance). Both NN sweeps are one MXU matmul
+    (the |a−b|² expansion); no data-dependent shapes — non-mutual rows are
+    reported, not dropped, so downstream stages gate by weight.
+    """
+    a = src_feat.astype(jnp.float32)
+    b = tgt_feat.astype(jnp.float32)
+    d2 = (jnp.sum(a * a, -1)[:, None] - 2.0 * (a @ b.T)
+          + jnp.sum(b * b, -1)[None, :])                     # [N, M]
+    j_of_i = jnp.argmin(d2, axis=1).astype(jnp.int32)        # [N]
+    i_of_j = jnp.argmin(d2, axis=0).astype(jnp.int32)        # [M]
+    mutual = i_of_j[j_of_i] == jnp.arange(a.shape[0], dtype=jnp.int32)
+    dist = jnp.sqrt(jnp.maximum(
+        jnp.take_along_axis(d2, j_of_i[:, None], axis=1)[:, 0], 0.0))
+    return j_of_i, mutual, dist
+
+
+def _register_core(src: Array, tgt: Array, k_normals: int, k_fpfh: int,
+                   top_m: int, sigma: float, spectral_iters: int,
+                   refine_iters: int, icp_iters: int, icp_mode: str,
+                   icp_tau: float, icp_trim: float):
+    # 'local' orientation is pose-EQUIVARIANT (away from the neighborhood
+    # centroid) — viewpoint orientation would give the two frames different
+    # normal signs and scramble the sign-sensitive Darboux angles
+    n_src = fpfh_lib.estimate_normals(src, k=k_normals, orient="local")
+    n_tgt = fpfh_lib.estimate_normals(tgt, k=k_normals, orient="local")
+    f_src = fpfh_lib.fpfh(src, n_src, k=k_fpfh)
+    f_tgt = fpfh_lib.fpfh(tgt, n_tgt, k=k_fpfh)
+
+    j_of_i, mutual, dist = match_features(f_src, f_tgt)
+    tgt_corr = tgt[j_of_i]
+    # confidence: reciprocal matches first, closer descriptors first —
+    # only the top-M ORDER matters to the spectral stage
+    scores = mutual.astype(jnp.float32) / (1.0 + dist)
+
+    w = spectral_match_weights(src, tgt_corr, scores, top_m=top_m,
+                               sigma=sigma, iters=spectral_iters)
+    R, t = kabsch_weighted(src, tgt_corr, w)
+    if refine_iters > 0:
+        R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters)
+    if icp_iters > 0:
+        R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
+                                 iters=icp_iters, mode=icp_mode, tau=icp_tau,
+                                 trim=icp_trim,
+                                 tgt_normals=(n_tgt[None]
+                                              if icp_mode == "plane"
+                                              else None))
+        R, t = R[0], t[0]
+        posed = src @ R.T + t
+        from .ops.icp import nearest_neighbor
+        nn, _ = nearest_neighbor(posed, tgt)
+        cov = pose_covariance(src, tgt[nn], R, t, w_icp[0])
+    else:
+        cov = pose_covariance(src, tgt_corr, R, t, w)
+    return R, t, w, cov
+
+
+_CORE = jax.jit(_register_core,
+                static_argnames=("k_normals", "k_fpfh", "top_m",
+                                 "spectral_iters", "refine_iters",
+                                 "icp_iters", "icp_mode", "icp_tau",
+                                 "icp_trim"))
+
+
+def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
+                  voxel: float = 0.0, k_normals: int = 30, k_fpfh: int = 60,
+                  top_m: int = 512, sigma: float = 0.09,
+                  spectral_iters: int = 12, refine_iters: int = 5,
+                  icp_iters: int = 10, icp_mode: str = "plane",
+                  icp_tau: float = 0.0, icp_trim: float = 0.0,
+                  seed: int = 0):
+    """Register two raw point clouds with no learned model.
+
+    src_pts/tgt_pts: [N, 3] arrays (any N — host-side voxel downsample when
+    `voxel > 0`, then sample/pad to the compiled `n_points` like
+    serving.Registrar). Returns (R [3, 3], t [3], info) with info carrying
+    'weights' (final per-source-point weights over the sampled cloud),
+    'pose_covariance' [6, 6], and 'indices' (the sampled source row ids).
+    All tuning knobs mirror the Registrar's robust stack; `icp_mode='plane'`
+    is the default because the two clouds sample the surface independently.
+    """
+    rng = np.random.default_rng(seed)
+    src = np.asarray(src_pts, np.float32)
+    tgt = np.asarray(tgt_pts, np.float32)
+    if voxel > 0:
+        src = fpfh_lib.voxel_downsample(src, voxel)
+        tgt = fpfh_lib.voxel_downsample(tgt, voxel)
+
+    def fit(arr):
+        cur = arr.shape[0]
+        if cur == n_points:
+            return arr, np.arange(cur)
+        if cur > n_points:
+            idx = rng.choice(cur, n_points, replace=False)
+        else:
+            idx = np.concatenate([np.arange(cur),
+                                  rng.choice(cur, n_points - cur,
+                                             replace=True)])
+        return arr[idx], idx
+
+    src_f, src_idx = fit(src)
+    tgt_f, _ = fit(tgt)
+    R, t, w, cov = _CORE(jnp.asarray(src_f), jnp.asarray(tgt_f),
+                         k_normals=k_normals, k_fpfh=k_fpfh,
+                         top_m=min(top_m, n_points), sigma=sigma,
+                         spectral_iters=spectral_iters,
+                         refine_iters=refine_iters, icp_iters=icp_iters,
+                         icp_mode=icp_mode, icp_tau=icp_tau,
+                         icp_trim=icp_trim)
+    info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
+            "indices": src_idx}
+    return np.asarray(R), np.asarray(t), info

@@ -1,0 +1,113 @@
+"""Checkpoint-free classic global registration (registration.py).
+
+Pins the FPFH -> mutual matching -> spectral -> IRLS -> ICP pipeline the
+reference's users currently assemble from open3d
+(/root/reference/data_preprocess/process_kitti.py:21-38 uses open3d only
+for this descriptor stage) — here composed entirely from the framework's
+TPU-native ops and jitted as one program.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from se3_equi_graph_registration_tpu.data.synthetic import random_rotation
+from se3_equi_graph_registration_tpu.registration import (match_features,
+                                                          register_fpfh)
+
+
+def _rot_deg(Ra, Rb):
+    d = np.linalg.norm(Ra - Rb) / np.sqrt(2.0)
+    return np.degrees(2.0 * np.arcsin(np.clip(d / 2.0, 0.0, 1.0)))
+
+
+@pytest.fixture(scope="module")
+def bumpy():
+    """Gaussian-bump height field: locally DISTINCTIVE geometry (a periodic
+    sin/cos surface is self-similar, which makes partial-overlap matching
+    genuinely ill-posed for any geometry-only method)."""
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(-1.6, 1.6, (30, 2))
+    amps = rng.uniform(-0.35, 0.35, 30)
+    widths = rng.uniform(0.08, 0.3, 30)
+
+    def surf(rng2, n, x0, x1):
+        xy = np.stack([rng2.uniform(x0, x1, n), rng2.uniform(-1, 1, n)], -1)
+        z = np.zeros(n)
+        for (cx, cy), a, w in zip(centers, amps, widths):
+            z += a * np.exp(-((xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2) / w)
+        pts = np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+        return pts + rng2.standard_normal(pts.shape).astype(np.float32) * 0.002
+
+    return surf
+
+
+def test_match_features_mutual_consistency(rng):
+    a = rng.standard_normal((64, 16)).astype(np.float32)
+    # target = permuted copy: every match must be found and mutual
+    perm = rng.permutation(64)
+    j, mutual, dist = match_features(jnp.asarray(a), jnp.asarray(a[perm]))
+    np.testing.assert_array_equal(np.asarray(j), np.argsort(perm))
+    assert np.all(np.asarray(mutual))
+    # identical descriptors: distance is pure fp cancellation noise of the
+    # |a|^2 - 2ab + |b|^2 expansion (~sqrt(eps) on unit-scale features)
+    np.testing.assert_allclose(np.asarray(dist), 0.0, atol=1e-2)
+
+
+def test_register_fpfh_independent_sampling(bumpy):
+    """Full overlap, src and tgt sample the surface at DIFFERENT points —
+    the regime with no exact counterparts. Default knobs recover sub-0.5-deg
+    / sub-0.5-cm (measured 0.13 deg / 0.06 cm)."""
+    rng = np.random.default_rng(3)
+    src = bumpy(rng, 1024, -1.0, 1.0)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = bumpy(rng, 1024, -1.0, 1.0) @ R.T + t
+
+    Rh, th, info = register_fpfh(src, tgt, n_points=1024)
+    assert _rot_deg(Rh, R) < 0.5
+    assert np.linalg.norm(th - t) < 5e-3
+    assert info["pose_covariance"].shape == (6, 6)
+    assert np.all(np.isfinite(info["pose_covariance"]))
+
+
+def test_register_fpfh_partial_overlap_trimmed(bumpy):
+    """40% overlap: MOST source points have no counterpart, so the MAD
+    scale inside plain ICP is corrupted — overlap-fraction trimming
+    (icp_trim) still recovers the pose (measured 0.48 deg / 0.76 cm on this
+    draw, where only ~14 of 1024 putative matches are geometrically correct;
+    the frame-dependent 'viewpoint' normal orientation produced ZERO correct
+    matches here, which is why the pipeline uses orient='local')."""
+    rng = np.random.default_rng(0)
+    src = bumpy(rng, 1024, -1.0, 1.0)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = bumpy(rng, 1024, 0.2, 2.2) @ R.T + t   # overlap x in [0.2, 1.0]
+
+    Rh, th, _ = register_fpfh(src, tgt, n_points=1024, top_m=256,
+                              icp_trim=0.35, icp_iters=20)
+    assert _rot_deg(Rh, R) < 1.0, _rot_deg(Rh, R)
+    assert np.linalg.norm(th - t) < 1.5e-2
+
+
+def test_register_fpfh_ragged_inputs(bumpy):
+    """Arbitrary input sizes sample/pad to the compiled n_points (the
+    Registrar contract) and still register."""
+    rng = np.random.default_rng(5)
+    src = bumpy(rng, 700, -1.0, 1.0)     # < n_points: pads
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.2).astype(np.float32)
+    tgt = bumpy(rng, 1500, -1.0, 1.0) @ R.T + t   # > n_points: samples
+
+    Rh, th, info = register_fpfh(src, tgt, n_points=512, seed=1)
+    assert _rot_deg(Rh, R) < 1.0
+    assert np.linalg.norm(th - t) < 1e-2
+    assert info["indices"].shape == (512,)
+
+
+def test_icp_trim_validation():
+    from se3_equi_graph_registration_tpu.ops import icp
+    src = jnp.zeros((1, 8, 3))
+    with pytest.raises(ValueError, match="trim"):
+        icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
+                       trim=1.5)
