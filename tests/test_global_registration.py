@@ -72,12 +72,14 @@ def test_register_fpfh_independent_sampling(bumpy):
 
 
 def test_register_fpfh_partial_overlap_trimmed(bumpy):
-    """40% overlap: MOST source points have no counterpart, so the MAD
-    scale inside plain ICP is corrupted — overlap-fraction trimming
-    (icp_trim) still recovers the pose (measured 0.48 deg / 0.76 cm on this
-    draw, where only ~14 of 1024 putative matches are geometrically correct;
-    the frame-dependent 'viewpoint' normal orientation produced ZERO correct
-    matches here, which is why the pipeline uses orient='local')."""
+    """40% overlap: MOST source points have no counterpart — only ~1-2% of
+    putative matches are geometrically correct, and the MAD scale inside
+    plain ICP is corrupted. The default RANSAC coarse stage + overlap-
+    fraction trimming (icp_trim) recovers the pose on BOTH coarse stages'
+    worst-case draws (the single-shot spectral eigenvector fails this regime
+    5/5 seeds — ops/ransac.py's reason to exist; the frame-dependent
+    'viewpoint' normal orientation produced ZERO correct matches here, which
+    is why the pipeline uses orient='local')."""
     rng = np.random.default_rng(0)
     src = bumpy(rng, 1024, -1.0, 1.0)
     R = random_rotation(rng).astype(np.float32)
@@ -88,6 +90,40 @@ def test_register_fpfh_partial_overlap_trimmed(bumpy):
                               icp_trim=0.35, icp_iters=20)
     assert _rot_deg(Rh, R) < 1.0, _rot_deg(Rh, R)
     assert np.linalg.norm(th - t) < 1.5e-2
+
+    # spectral coarse stage also holds on THIS draw (its success case;
+    # pinned so both code paths stay covered)
+    Rs, ts, _ = register_fpfh(src, tgt, n_points=1024, top_m=256,
+                              icp_trim=0.35, icp_iters=20, coarse="spectral")
+    assert _rot_deg(Rs, R) < 1.0, _rot_deg(Rs, R)
+
+    with pytest.raises(ValueError, match="unknown coarse"):
+        register_fpfh(src, tgt, n_points=1024, coarse="bogus")
+
+
+def test_ransac_pose_low_inlier_recovery(rng):
+    """ops/ransac.py standalone: 20% inliers in the putative set — the
+    batched minimal-sample vote finds the pose (P(all-inlier triplet in
+    1024 draws) > 99.9% at uniform sampling) and the inlier mask is clean."""
+    from se3_equi_graph_registration_tpu.ops.ransac import ransac_pose
+    import jax
+
+    n = 400
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = src @ R.T + t
+    tgt[80:] = rng.standard_normal((n - 80, 3)).astype(np.float32) * 2  # 80% junk
+    scores = np.ones(n, np.float32)
+
+    Rh, th, w = ransac_pose(jnp.asarray(src), jnp.asarray(tgt),
+                            jnp.asarray(scores), jax.random.PRNGKey(0),
+                            hypotheses=1024, top_m=400, inlier_tau=0.05)
+    assert _rot_deg(np.asarray(Rh), R) < 0.5
+    assert np.linalg.norm(np.asarray(th) - t) < 5e-3
+    w = np.asarray(w)
+    assert w[:80].sum() >= 70          # finds nearly all true inliers
+    assert w[80:].sum() <= 5           # and nearly no junk
 
 
 def test_register_fpfh_ragged_inputs(bumpy):
