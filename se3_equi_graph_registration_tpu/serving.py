@@ -245,6 +245,72 @@ class Registrar:
             lbl[:] = 1.0
         return lbl
 
+    def register_raw(self, src_pts, tgt_pts, voxel: float = 0.0,
+                     k_normals: int = 30, k_fpfh: int = 60,
+                     orient: str = "local", seed: int = 0, **kw):
+        """Register two RAW clouds through the LEARNED model.
+
+        Reproduces the reference's OFFLINE preprocessing online and on
+        device: FPFH-33 descriptors (ops/fpfh — the KITTI preset's feature
+        type, L2-row-normalized like data/kitti.py:40-41) at the compiled
+        point count, then putative correspondences by nearest-descriptor
+        matching (the model, like the reference's, consumes index-ALIGNED
+        correspondence sets built by feature matching —
+        data_preprocess/process_kitti.py), then the normal register() path.
+        Only meaningful with a 33-feature checkpoint (in_node_nf=33); raises
+        otherwise. `orient` defaults to the pose-equivariant 'local' policy;
+        pass 'viewpoint' to reproduce the open3d-style convention the KITTI
+        archives were built with. For model-free registration of raw clouds
+        see `registration.register_fpfh`.
+        """
+        if self.cfg.in_node_nf != 33:
+            raise ValueError(
+                "register_raw computes FPFH-33 features; this Registrar's "
+                f"model takes in_node_nf={self.cfg.in_node_nf}. Load a "
+                "33-feature (KITTI-style) checkpoint, or call register() "
+                "with your own descriptors.")
+        import jax.numpy as jnp
+
+        from .ops import fpfh as fpfh_lib
+        from .registration import match_features
+
+        squeeze = np.asarray(src_pts).ndim == 2
+        if squeeze:
+            src_pts, tgt_pts = src_pts[None], tgt_pts[None]
+        rng = np.random.default_rng(seed)
+        n = self.cfg.num_nodes
+
+        def descriptors(cloud):
+            p = np.asarray(cloud, np.float32)
+            if voxel > 0:
+                p = fpfh_lib.voxel_downsample(p, voxel)
+            p, _ = self._fit_n(p, n, rng)
+            xj = jnp.asarray(p)
+            nrm = fpfh_lib.estimate_normals(xj, k=k_normals, orient=orient)
+            f = np.asarray(fpfh_lib.fpfh(xj, nrm, k=k_fpfh))
+            return p, (f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-6)
+                       ).astype(np.float32)
+
+        sp_l, sf_l, tp_l, tf_l = [], [], [], []
+        for i in range(len(src_pts)):
+            sp, sf = descriptors(src_pts[i])
+            tp, tf = descriptors(tgt_pts[i])
+            j, _, _ = match_features(jnp.asarray(sf), jnp.asarray(tf))
+            j = np.asarray(j)
+            sp_l.append(sp)
+            sf_l.append(sf)
+            tp_l.append(tp[j])       # aligned putative correspondences
+            tf_l.append(tf[j])
+        R, t, info = self.register(np.stack(sp_l), np.stack(sf_l),
+                                   np.stack(tp_l), np.stack(tf_l),
+                                   seed=seed, **kw)
+        if squeeze:
+            def _one(v):
+                a = np.asarray(v)
+                return a[0] if a.ndim > 0 else a.item()
+            return R[0], t[0], {k: _one(v) for k, v in info.items()}
+        return R, t, info
+
     def register(self, src_pts, src_feat, tgt_pts, tgt_feat,
                  labels: Optional[np.ndarray] = None, seed: int = 0,
                  clique_prefilter: bool = False, clique_tau: float = 0.10):

@@ -147,3 +147,49 @@ def test_icp_trim_validation():
     with pytest.raises(ValueError, match="trim"):
         icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
                        trim=1.5)
+
+
+def test_registrar_register_raw(bumpy):
+    """Raw clouds -> on-device FPFH-33 -> descriptor matching -> the learned
+    model's correspondence path. With the same surface sampling shuffled in
+    the target, matching must re-pair the clouds so the eval-fusion head
+    (whose Kabsch weights derive from the pre-EGNN raw similarity) recovers
+    the pose even at random init — correctness here comes from the
+    descriptor stage, which is exactly what register_raw adds."""
+    import jax
+    from se3_equi_graph_registration_tpu import serving
+    from se3_equi_graph_registration_tpu.train import engine
+
+    n = 256
+    rng = np.random.default_rng(7)
+    src = bumpy(rng, n, -1.0, 1.0)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.2).astype(np.float32)
+    tgt = (src @ R.T + t)[rng.permutation(n)]   # same surface, scrambled rows
+
+    cfg = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=33, top_k=64)
+    model = engine.build_model(cfg, head_mode="eval_fusion")
+    opt = engine.build_optimizer(cfg)
+    dummy = {"src_feat": jnp.zeros((1, n, 33)), "src_pts": jnp.zeros((1, n, 3)),
+             "tgt_feat": jnp.zeros((1, n, 33)), "tgt_pts": jnp.zeros((1, n, 3)),
+             "labels": jnp.zeros((1, n))}
+    params = engine.init_state(model, opt, cfg, jax.random.PRNGKey(0),
+                               dummy).params
+    reg = serving.Registrar(params, cfg, head_mode="eval_fusion")
+
+    Rh, th, info = reg.register_raw(src, tgt)
+    assert _rot_deg(Rh, R) < 1.0, _rot_deg(Rh, R)
+    assert np.linalg.norm(th - t) < 1e-2
+    assert info["pose_covariance"].shape == (6, 6)
+
+    # a 32-feature model cannot take FPFH-33
+    cfg32 = engine.EngineConfig(num_nodes=n, k=8, in_node_nf=32, top_k=64)
+    model32 = engine.build_model(cfg32, head_mode="eval_fusion")
+    dummy32 = dict(dummy, src_feat=jnp.zeros((1, n, 32)),
+                   tgt_feat=jnp.zeros((1, n, 32)))
+    params32 = engine.init_state(model32, opt, cfg32, jax.random.PRNGKey(0),
+                                 dummy32).params
+    reg32 = serving.Registrar(params32, cfg32, head_mode="eval_fusion")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="in_node_nf=32"):
+        reg32.register_raw(src, tgt)
