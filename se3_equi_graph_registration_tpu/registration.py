@@ -33,7 +33,7 @@ from .ops.spectral import spectral_match_weights
 
 Array = jax.Array
 
-__all__ = ["register_fpfh", "match_features"]
+__all__ = ["register_fpfh", "register_fpfh_batch", "match_features"]
 
 
 def match_features(src_feat: Array, tgt_feat: Array
@@ -174,3 +174,27 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
             "indices": src_idx}
     return np.asarray(R), np.asarray(t), info
+
+
+def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, **knobs):
+    """Batched register_fpfh: src/tgt [B, N, 3] (already fixed-size — pad or
+    sample upstream, e.g. with serving.Registrar._fit_n semantics), one
+    vmapped jitted program over the pair axis. Same knobs as register_fpfh
+    minus the host-side n_points/voxel fitting. Returns (R [B, 3, 3],
+    t [B, 3], info with batched 'weights' and 'pose_covariance')."""
+    kw = dict(k_normals=30, k_fpfh=60, top_m=512, sigma=0.09,
+              spectral_iters=12, refine_iters=5, icp_iters=10,
+              icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
+              coarse="ransac", hypotheses=512)
+    unknown = set(knobs) - set(kw)
+    if unknown:
+        raise TypeError(f"unknown register_fpfh_batch knobs: {sorted(unknown)}")
+    kw.update(knobs)
+    src = jnp.asarray(src_pts, jnp.float32)
+    tgt = jnp.asarray(tgt_pts, jnp.float32)
+    kw["top_m"] = min(kw["top_m"], src.shape[1])
+    keys = jax.random.split(jax.random.PRNGKey(seed), src.shape[0])
+    R, t, w, cov = jax.jit(jax.vmap(
+        lambda s, g, k: _register_core(s, g, k, **kw)))(src, tgt, keys)
+    return (np.asarray(R), np.asarray(t),
+            {"weights": np.asarray(w), "pose_covariance": np.asarray(cov)})

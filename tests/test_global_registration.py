@@ -193,3 +193,29 @@ def test_registrar_register_raw(bumpy):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="in_node_nf=32"):
         reg32.register_raw(src, tgt)
+
+
+def test_register_fpfh_batch_matches_single(bumpy):
+    """The vmapped batch API returns the same poses as per-pair calls (same
+    per-pair PRNG keys), at batch shapes."""
+    from se3_equi_graph_registration_tpu.registration import register_fpfh_batch
+
+    rng = np.random.default_rng(11)
+    n, b = 512, 3
+    srcs, tgts, gts = [], [], []
+    for _ in range(b):
+        s = bumpy(rng, n, -1.0, 1.0)
+        R = random_rotation(rng).astype(np.float32)
+        t = (rng.standard_normal(3) * 0.2).astype(np.float32)
+        srcs.append(s)
+        tgts.append(bumpy(rng, n, -1.0, 1.0) @ R.T + t)
+        gts.append((R, t))
+
+    Rb, tb, info = register_fpfh_batch(np.stack(srcs), np.stack(tgts))
+    assert Rb.shape == (b, 3, 3) and info["pose_covariance"].shape == (b, 6, 6)
+    for i, (R, t) in enumerate(gts):
+        assert _rot_deg(Rb[i], R) < 0.5, (i, _rot_deg(Rb[i], R))
+        assert np.linalg.norm(tb[i] - t) < 5e-3
+
+    with pytest.raises(TypeError, match="unknown register_fpfh_batch"):
+        register_fpfh_batch(np.stack(srcs), np.stack(tgts), n_points=512)
