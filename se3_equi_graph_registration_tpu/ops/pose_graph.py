@@ -62,8 +62,9 @@ def _log_so3_vee(R: Array) -> Array:
 def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
                         t_rel: Array, weights: Array | None = None,
                         iters: int = 10, damping: float = 1e-6,
-                        anchor: int = 0, rot_weight: float = 1.0
-                        ) -> tuple[Array, Array]:
+                        anchor: int = 0, rot_weight: float = 1.0,
+                        robust: str | None = None, min_sigma: float = 1e-4,
+                        robust_anneal: float = 0.7) -> tuple[Array, Array]:
     """Gauss-Newton over absolute poses given relative measurements.
 
     R0 [V, 3, 3] / t0 [V, 3]: initial absolute poses (frame→world).
@@ -74,11 +75,31 @@ def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
     default uniform. `rot_weight` scales the rotation residual relative to
     translation (unit balance). Returns optimized (R [V, 3, 3], t [V, 3])
     with pose `anchor` held fixed (stiff gauge prior).
+
+    `robust` ('huber' | 'cauchy' | 'geman' | 'welsch', default None =
+    plain least squares) re-weights edges each GN round by a kernel of
+    their residual NORM — the IRLS form of switchable constraints. A single
+    grossly-wrong edge (a confidently-wrong pairwise registration, which
+    its covariance does NOT flag) otherwise drags the whole trajectory;
+    with a robust kernel the consistent majority votes it down. The scale
+    follows graduated non-convexity: round k uses
+    max(MAD, max|r₀|·robust_anneal^k, min_sigma) — starting near least
+    squares and annealing. Pure MAD deadlocks when the INIT itself embeds a
+    bad edge (e.g. odometry integrated through a failed registration): most
+    edges then agree with the wrong init, MAD collapses, and every
+    informative loop closure is crushed before it can pull — measured, not
+    hypothetical (tests/test_pose_graph.py). Set robust_anneal=0 for pure
+    MAD scaling.
     """
+    from .kabsch import _IRLS_KERNELS
+    kernels = dict(_IRLS_KERNELS, welsch=lambda u: jnp.exp(-(u * u)))
+    if robust is not None and robust not in kernels:
+        raise ValueError(f"unknown robust kernel {robust!r}; "
+                         f"expected one of {sorted(kernels)} or None")
+
     V = R0.shape[0]
     w_e = (jnp.ones(edges.shape[0], jnp.float32) if weights is None
            else weights.astype(jnp.float32))
-    sw = jnp.sqrt(jnp.maximum(w_e, 0.0))[:, None]
     ei = edges[:, 0]
     ej = edges[:, 1]
     Rm = R_rel.astype(jnp.float32)
@@ -94,16 +115,33 @@ def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
         R_err = jnp.einsum("eab,eca,ecd->ebd", Rm, Ri, Rj)  # Rmᵀ Riᵀ Rj
         r_rot = _log_so3_vee(R_err) * rot_weight
         r_t = jnp.einsum("eab,ea->eb", Ri, tp[ej] - tp[ei]) - tm
-        return jnp.concatenate([r_rot, r_t], axis=-1) * sw
+        return jnp.concatenate([r_rot, r_t], axis=-1)
 
     gauge = jnp.zeros((V,), jnp.float32).at[anchor].set(1.0)
     prior = 1e8 * jnp.repeat(gauge, 6)
 
-    def gn_step(carry, _):
+    zero = jnp.zeros((V, 6), jnp.float32)
+    r_init = residuals(zero, R0.astype(jnp.float32), t0.astype(jnp.float32))
+    s_max = jnp.sqrt(jnp.maximum(
+        jnp.max(jnp.sum(r_init * r_init, -1)), 1e-20)) + min_sigma
+
+    def gn_step(carry, k):
         R, t = carry
-        zero = jnp.zeros((V, 6), jnp.float32)
-        r = residuals(zero, R, t).reshape(-1)               # [6E]
-        J = jax.jacfwd(lambda d: residuals(d, R, t).reshape(-1))(zero)
+        r_raw = residuals(zero, R, t)                       # [E, 6]
+        w_it = w_e
+        if robust is not None:
+            # IRLS multiplier held constant within the step (standard)
+            rn = jnp.sqrt(jnp.maximum(jnp.sum(r_raw * r_raw, -1), 1e-20))
+            med = jnp.median(rn)
+            s = jnp.maximum(1.4826 * jnp.median(jnp.abs(rn - med)),
+                            min_sigma)
+            if robust_anneal > 0:
+                s = jnp.maximum(s, s_max * robust_anneal ** k)
+            w_it = w_e * kernels[robust](rn / s)
+        sw = jnp.sqrt(jnp.maximum(w_it, 0.0))[:, None]
+        r = (r_raw * sw).reshape(-1)                        # [6E]
+        J = jax.jacfwd(
+            lambda d: (residuals(d, R, t) * sw).reshape(-1))(zero)
         J = J.reshape(r.shape[0], V * 6)                    # [6E, 6V]
         H = J.T @ J
         H = H + jnp.diag(prior + damping * (1.0 + jnp.diag(H)))
@@ -112,7 +150,7 @@ def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
 
     (R, t), _ = jax.lax.scan(gn_step,
                              (R0.astype(jnp.float32), t0.astype(jnp.float32)),
-                             None, length=iters)
+                             jnp.arange(iters, dtype=jnp.float32))
     return R, t
 
 

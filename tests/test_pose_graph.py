@@ -6,6 +6,7 @@ is the open3d `global_optimization` capability these tests pin on the
 jitted Gauss-Newton optimizer.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,3 +136,35 @@ def test_trajectory_wrapper_jits(rng):
     np.testing.assert_allclose(
         out[:, 3], np.tile([0, 0, 0, 1], (len(out), 1)).astype(np.float32),
         atol=0)
+
+
+def test_robust_kernel_repairs_corrupted_chain_edge():
+    """A corrupted odometry link whose error is EMBEDDED in the init (the
+    chain was integrated through it): most edges then agree with the wrong
+    init, so plain least squares compromises and pure-MAD IRLS deadlocks
+    (the collapsed scale crushes the informative closures — measured). The
+    GNC-annealed geman kernel recovers the exact trajectory from the
+    redundant spanning closures."""
+    V = 4
+    Rg = jnp.tile(jnp.eye(3), (V, 1, 1))
+    edges = jnp.asarray(np.array([(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)],
+                                 np.int32))
+    # chain measurements with edge (1, 2) corrupted by +0.3; closures exact
+    t_rel = jnp.asarray(np.array([[1, 0, 0], [1.3, 0, 0], [1, 0, 0],
+                                  [3, 0, 0], [2, 0, 0]], np.float32))
+    R_rel = jnp.tile(jnp.eye(3), (5, 1, 1))
+    t0 = jnp.asarray(np.array([[0, 0, 0], [1, 0, 0], [2.3, 0, 0],
+                               [3.3, 0, 0]], np.float32))
+    t_true = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]],
+                      np.float32)
+
+    _, t_rob = optimize_pose_graph(Rg, t0, edges, R_rel, t_rel,
+                                   robust="geman", iters=20)
+    np.testing.assert_allclose(np.asarray(t_rob), t_true, atol=1e-3)
+
+    # plain least squares only splits the difference
+    _, t_lsq = optimize_pose_graph(Rg, t0, edges, R_rel, t_rel, iters=20)
+    assert np.abs(np.asarray(t_lsq) - t_true).max() > 0.02
+
+    with pytest.raises(ValueError, match="unknown robust"):
+        optimize_pose_graph(Rg, t0, edges, R_rel, t_rel, robust="bogus")
