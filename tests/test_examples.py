@@ -56,3 +56,36 @@ def test_multihost_train_demo_runs():
         cwd=root, capture_output=True, text=True, timeout=600, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "both processes finished" in out.stdout, out.stdout
+
+
+def test_global_registration_demo_runs():
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv=['global_registration.py','--n-points','512'];"
+        f"exec(open(r'{root / 'examples' / 'global_registration.py'}').read())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=root,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "vs ground truth" in out.stdout, out.stdout
+    # the full-overlap default recovers well under a degree
+    err = float(out.stdout.rsplit("vs ground truth:", 1)[1].split("deg")[0])
+    assert err < 1.0, out.stdout
+
+
+def test_multiway_registration_demo_runs():
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.argv=['multiway_registration.py',"
+        "'--fragments','5','--n-points','768'];"
+        f"exec(open(r'{root / 'examples' / 'multiway_registration.py'}').read())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=root,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    chain = float(out.stdout.split("odometry chain : max")[1].split("deg")[0])
+    opt = float(out.stdout.split("optimized graph: max")[1].split("deg")[0])
+    assert chain > 3.0, out.stdout      # the injected corruption is visible
+    assert opt < chain / 4, out.stdout  # and the robust graph repairs it
