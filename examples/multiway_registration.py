@@ -80,19 +80,16 @@ def main():
     edge_list = [(i, i + 1) for i in range(V - 1)]
     edge_list += [(i, i + 2) for i in range(V - 2)]
     edge_list += [(i, i + 3) for i in range(V - 3)]
-    rels, weights = [], []
+    rels = []
     for i, j in edge_list:
         # register fragment j onto fragment i: T_ij maps j-local -> i-local
-        R, t, info = register_fpfh(frags[j], frags[i], n_points=n,
-                                   top_m=256, icp_trim=0.5, icp_iters=15,
-                                   seed=i * 100 + j)
+        R, t, _ = register_fpfh(frags[j], frags[i], n_points=n,
+                                top_m=256, icp_trim=0.5, icp_iters=15,
+                                seed=i * 100 + j)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3], T[:3, 3] = R, t
         rels.append(T)
-        cov = info["pose_covariance"]
-        weights.append(1.0 / (1e-6 + float(np.trace(cov))))
     rels = np.stack(rels)
-    weights = np.asarray(weights, np.float32)
     # uniform weights + robust kernel beats covariance weighting here: a
     # confidently-WRONG registration has a small covariance, and the honest
     # 50%-overlap closures would be muted ~40x below the chain edges —

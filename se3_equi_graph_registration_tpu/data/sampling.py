@@ -12,6 +12,23 @@ from typing import NamedTuple
 import numpy as np
 
 
+def fit_to_count(arr: np.ndarray, n: int, rng: np.random.Generator
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Sample down (without replacement) or pad (repeat with replacement) the
+    leading axis to exactly `n` rows; returns (fitted array, row indices).
+    The shared host-side shim onto compiled fixed shapes — used by
+    serving.Registrar and registration.register_fpfh."""
+    cur = arr.shape[0]
+    if cur == n:
+        return arr, np.arange(n)
+    if cur > n:
+        idx = rng.choice(cur, n, replace=False)
+    else:
+        idx = np.concatenate([np.arange(cur),
+                              rng.choice(cur, n - cur, replace=True)])
+    return arr[idx], idx
+
+
 def balanced_sample(labels: np.ndarray, sample_size: int, pos_fraction: float,
                     rng: np.random.Generator) -> np.ndarray:
     """Balanced positive/negative index sampling, sorted ascending.

@@ -48,15 +48,11 @@ def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
     Returns (idx [..., N] int32, squared distance [..., N] fp32, clamped at
     0 against fp cancellation). Ties resolve to the lowest index (argmin).
     """
-    q = query.astype(jnp.float32)
-    p = points.astype(jnp.float32)
-    # |q - p|^2 = |q|^2 - 2 q.p + |p|^2 ; the cross term is the MXU matmul
-    cross = jnp.einsum("...nd,...md->...nm", q, p)
-    d2 = (jnp.sum(q * q, axis=-1)[..., :, None]
-          - 2.0 * cross + jnp.sum(p * p, axis=-1)[..., None, :])
+    from .knn import pairwise_sq_dists
+    d2 = pairwise_sq_dists(query.astype(jnp.float32),
+                           points.astype(jnp.float32))
     idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-    dmin = jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
-    return idx, jnp.maximum(dmin, 0.0)
+    return idx, jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
 
 
 def estimate_normals(points: Array, k: int = 16) -> Array:
@@ -113,15 +109,13 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     iteration keeps the previous pose (point mode via an explicit `where`;
     plane mode because the damped system then returns δ = 0).
     """
-    kernels = dict(_IRLS_KERNELS,
-                   welsch=lambda u: jnp.exp(-(u * u)))
-    if kernel not in kernels:
+    if kernel not in _IRLS_KERNELS:
         raise ValueError(f"unknown ICP kernel {kernel!r}; "
-                         f"expected one of {sorted(kernels)}")
+                         f"expected one of {sorted(_IRLS_KERNELS)}")
     if mode not in ("point", "plane"):
         raise ValueError(f"unknown ICP mode {mode!r}; "
                          "expected 'point' or 'plane'")
-    kfn = kernels[kernel]
+    kfn = _IRLS_KERNELS[kernel]
 
     srcf = src.astype(jnp.float32)
     tgtf = tgt.astype(jnp.float32)

@@ -128,10 +128,12 @@ def kabsch_weighted(src: Array, tgt: Array, weights: Array,
 
 
 _IRLS_KERNELS = {
-    # w(u) = ρ'(u)/u for residual u = r/σ — the IRLS multiplier
+    # w(u) = ρ'(u)/u for residual u = r/σ — the IRLS multiplier; shared by
+    # kabsch_irls, icp_refine, and pose_graph's robust edges
     "huber": lambda u: jnp.minimum(1.0, 1.0 / jnp.maximum(u, 1e-12)),
     "cauchy": lambda u: 1.0 / (1.0 + u * u),
     "geman": lambda u: 1.0 / (1.0 + u * u) ** 2,
+    "welsch": lambda u: jnp.exp(-(u * u)),
 }
 
 

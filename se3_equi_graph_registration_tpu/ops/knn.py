@@ -26,9 +26,11 @@ Array = jax.Array
 
 
 def pairwise_sq_dists(x: Array, y: Array) -> Array:
-    """Squared Euclidean distances [..., N, M] between x [..., N, 3] and y [..., M, 3].
+    """Squared Euclidean distances [..., N, M] between x [..., N, D] and y [..., M, D].
 
-    Uses the ‖x‖² − 2x·y + ‖y‖² expansion so the cross term is a single MXU matmul.
+    Uses the ‖x‖² − 2x·y + ‖y‖² expansion so the cross term is a single MXU
+    matmul; clamped at 0 against fp cancellation. D is usually 3 (points)
+    but any feature dimension works (descriptor matching uses D=33).
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)          # [...,N,1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)          # [...,M,1]

@@ -92,10 +92,9 @@ def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
     MAD scaling.
     """
     from .kabsch import _IRLS_KERNELS
-    kernels = dict(_IRLS_KERNELS, welsch=lambda u: jnp.exp(-(u * u)))
-    if robust is not None and robust not in kernels:
+    if robust is not None and robust not in _IRLS_KERNELS:
         raise ValueError(f"unknown robust kernel {robust!r}; "
-                         f"expected one of {sorted(kernels)} or None")
+                         f"expected one of {sorted(_IRLS_KERNELS)} or None")
 
     V = R0.shape[0]
     w_e = (jnp.ones(edges.shape[0], jnp.float32) if weights is None
@@ -137,7 +136,7 @@ def optimize_pose_graph(R0: Array, t0: Array, edges: Array, R_rel: Array,
                             min_sigma)
             if robust_anneal > 0:
                 s = jnp.maximum(s, s_max * robust_anneal ** k)
-            w_it = w_e * kernels[robust](rn / s)
+            w_it = w_e * _IRLS_KERNELS[robust](rn / s)
         sw = jnp.sqrt(jnp.maximum(w_it, 0.0))[:, None]
         r = (r_raw * sw).reshape(-1)                        # [6E]
         J = jax.jacfwd(

@@ -56,11 +56,10 @@ def ransac_pose(src: Array, tgt: Array, scores: Array, key: Array,
     s = srcf[cand]                                         # [M, 3]
     y = tgtf[cand]                                         # [M, 3]
 
-    # score-proportional triplet sampling; log of a zero score -> -inf
-    # removes it from the draw (all-zero scores degrade to uniform via the
-    # isfinite guard)
+    # score-proportional triplet sampling; the 1e-30 floor keeps logits
+    # finite — zero-score candidates keep ~exp(-69) probability (all-zero
+    # scores therefore degrade to a uniform draw)
     logits = jnp.log(jnp.maximum(sc[cand], 1e-30))
-    logits = jnp.where(jnp.isfinite(logits), logits, -30.0)
     trip = jax.random.categorical(key, logits[None, :],
                                   shape=(hypotheses, 3))   # [K, 3] in [0, M)
 

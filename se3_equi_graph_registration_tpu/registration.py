@@ -46,15 +46,13 @@ def match_features(src_feat: Array, tgt_feat: Array
     (the |a−b|² expansion); no data-dependent shapes — non-mutual rows are
     reported, not dropped, so downstream stages gate by weight.
     """
+    from .ops.knn import pairwise_sq_dists
     a = src_feat.astype(jnp.float32)
-    b = tgt_feat.astype(jnp.float32)
-    d2 = (jnp.sum(a * a, -1)[:, None] - 2.0 * (a @ b.T)
-          + jnp.sum(b * b, -1)[None, :])                     # [N, M]
+    d2 = pairwise_sq_dists(a, tgt_feat.astype(jnp.float32))  # [N, M]
     j_of_i = jnp.argmin(d2, axis=1).astype(jnp.int32)        # [N]
     i_of_j = jnp.argmin(d2, axis=0).astype(jnp.int32)        # [M]
     mutual = i_of_j[j_of_i] == jnp.arange(a.shape[0], dtype=jnp.int32)
-    dist = jnp.sqrt(jnp.maximum(
-        jnp.take_along_axis(d2, j_of_i[:, None], axis=1)[:, 0], 0.0))
+    dist = jnp.sqrt(jnp.take_along_axis(d2, j_of_i[:, None], axis=1)[:, 0])
     return j_of_i, mutual, dist
 
 
@@ -98,21 +96,31 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                                  tgt_normals=(n_tgt[None]
                                               if icp_mode == "plane"
                                               else None))
-        R, t = R[0], t[0]
+        R, t, w = R[0], t[0], w_icp[0]   # w: the FINAL (NN-associated) set
         posed = src @ R.T + t
         from .ops.icp import nearest_neighbor
         nn, _ = nearest_neighbor(posed, tgt)
-        cov = pose_covariance(src, tgt[nn], R, t, w_icp[0])
+        cov = pose_covariance(src, tgt[nn], R, t, w)
     else:
         cov = pose_covariance(src, tgt_corr, R, t, w)
     return R, t, w, cov
 
 
-_CORE = jax.jit(_register_core,
-                static_argnames=("k_normals", "k_fpfh", "top_m",
-                                 "spectral_iters", "refine_iters",
-                                 "icp_iters", "icp_mode", "icp_tau",
-                                 "icp_trim", "coarse", "hypotheses"))
+_STATIC = ("k_normals", "k_fpfh", "top_m", "spectral_iters", "refine_iters",
+           "icp_iters", "icp_mode", "icp_tau", "icp_trim", "coarse",
+           "hypotheses")
+_CORE = jax.jit(_register_core, static_argnames=_STATIC)
+
+
+def _core_batch(src, tgt, keys, **kw):
+    return jax.vmap(lambda s, g, k: _register_core(s, g, k, **kw))(
+        src, tgt, keys)
+
+
+# module-level jit: repeated register_fpfh_batch calls at the same shapes
+# and knobs hit the compile cache instead of re-tracing (jit caches key on
+# the function OBJECT — a fresh lambda per call would recompile every time)
+_CORE_BATCH = jax.jit(_core_batch, static_argnames=_STATIC)
 
 
 def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
@@ -148,20 +156,9 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
         src = fpfh_lib.voxel_downsample(src, voxel)
         tgt = fpfh_lib.voxel_downsample(tgt, voxel)
 
-    def fit(arr):
-        cur = arr.shape[0]
-        if cur == n_points:
-            return arr, np.arange(cur)
-        if cur > n_points:
-            idx = rng.choice(cur, n_points, replace=False)
-        else:
-            idx = np.concatenate([np.arange(cur),
-                                  rng.choice(cur, n_points - cur,
-                                             replace=True)])
-        return arr[idx], idx
-
-    src_f, src_idx = fit(src)
-    tgt_f, _ = fit(tgt)
+    from .data.sampling import fit_to_count
+    src_f, src_idx = fit_to_count(src, n_points, rng)
+    tgt_f, _ = fit_to_count(tgt, n_points, rng)
     R, t, w, cov = _CORE(jnp.asarray(src_f), jnp.asarray(tgt_f),
                          jax.random.PRNGKey(seed),
                          k_normals=k_normals, k_fpfh=k_fpfh,
@@ -194,7 +191,6 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, **knobs):
     tgt = jnp.asarray(tgt_pts, jnp.float32)
     kw["top_m"] = min(kw["top_m"], src.shape[1])
     keys = jax.random.split(jax.random.PRNGKey(seed), src.shape[0])
-    R, t, w, cov = jax.jit(jax.vmap(
-        lambda s, g, k: _register_core(s, g, k, **kw)))(src, tgt, keys)
+    R, t, w, cov = _CORE_BATCH(src, tgt, keys, **kw)
     return (np.asarray(R), np.asarray(t),
             {"weights": np.asarray(w), "pose_covariance": np.asarray(cov)})

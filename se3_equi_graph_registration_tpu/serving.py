@@ -223,15 +223,8 @@ class Registrar:
 
     def _fit_n(self, arr: np.ndarray, n: int, rng: np.random.Generator):
         """Sample down or pad (with replacement) to the compiled point count."""
-        cur = arr.shape[0]
-        if cur == n:
-            return arr, np.arange(n)
-        if cur > n:
-            idx = rng.choice(cur, n, replace=False)
-        else:
-            idx = np.concatenate([np.arange(cur),
-                                  rng.choice(cur, n - cur, replace=True)])
-        return arr[idx], idx
+        from .data.sampling import fit_to_count
+        return fit_to_count(arr, n, rng)
 
     def _clique_labels(self, src_pts, tgt_pts, tau: float) -> np.ndarray:
         """Exact max-clique inlier mask over the rigid-consistency graph

@@ -248,8 +248,12 @@ def _apply_morton_fast(model, cfg, params, batch):
     # meaningful where the kernel is already rounding h to bf16 — fast
     # compiled mode, same gate as the kernel's cast_bf16 (interpret/CPU keeps
     # full fp32 numerics). Measured +11% forward at B=64 (BASELINE.md).
+    # Gated to N <= 2048 (the measured shape): the one-hot is a [B, N, N]
+    # bf16 tensor, O(N^2) vs the gather's O(N*C) — at the dense-scaling
+    # shapes (8K-32K) it would cost gigabytes per permute and invalidate
+    # the near-linear O(N*W) scaling the window path is built on.
     onehot_h = (cfg.onehot_h_permute and cfg.egnn_impl == "pallas"
-                and not cfg.egnn_accurate and not interp)
+                and not cfg.egnn_accurate and not interp and n <= 2048)
 
     def embed(h, x):
         # one fused key-value sort replaces argsort + gathers (and the
