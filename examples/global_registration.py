@@ -68,11 +68,11 @@ def main():
         src, tgt, R_gt, t_gt = make_surfaces(rng, args.n_points, args.overlap)
         gt = (R_gt, t_gt)
 
-    # partial overlap: overlap-fraction trimmed ICP finish
+    # partial overlap: trimmed-ICP finish with AUTOMATIC overlap estimation
+    # (Chetverikov TrICP objective — no need to know the overlap fraction)
     kw = {}
     if args.overlap < 0.6:
-        kw = dict(top_m=256, icp_trim=max(0.2, args.overlap - 0.05),
-                  icp_iters=20)
+        kw = dict(top_m=256, icp_trim="auto", icp_iters=20)
         print(f"partial-overlap settings: {kw}")
 
     R, t, info = register_fpfh(src, tgt, n_points=args.n_points,

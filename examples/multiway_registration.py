@@ -84,7 +84,7 @@ def main():
     for i, j in edge_list:
         # register fragment j onto fragment i: T_ij maps j-local -> i-local
         R, t, _ = register_fpfh(frags[j], frags[i], n_points=n,
-                                top_m=256, icp_trim=0.5, icp_iters=15,
+                                top_m=256, icp_trim="auto", icp_iters=15,
                                 seed=i * 100 + j)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3], T[:3, 3] = R, t

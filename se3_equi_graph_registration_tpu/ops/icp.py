@@ -78,7 +78,8 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
                min_sigma: float = 1e-3, solver: str = "svd",
                prior_weights: Array | None = None, mode: str = "point",
                tgt_normals: Array | None = None, normals_k: int = 16,
-               trim: float = 0.0) -> tuple[Array, Array, Array]:
+               trim: float | str = 0.0, min_trim: float = 0.2
+               ) -> tuple[Array, Array, Array]:
     """ICP from an initial pose (R [..., 3, 3], t [..., 3]).
 
     src [..., N, 3] and tgt [..., M, 3] are CLOUDS, not index-aligned
@@ -105,7 +106,12 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     of residuals each iteration (overlap-fraction trimmed ICP — the right
     tool when MOST source points have no counterpart, where a MAD scale is
     itself corrupted; classic TrICP semantics with static shapes via
-    jnp.quantile). Returns (R, t, final_weights). NaN-safe: an all-rejected
+    jnp.quantile); `trim='auto'` estimates the overlap fraction ITSELF each
+    iteration by minimizing Chetverikov's TrICP objective
+    ψ(ξ) = e(ξ)/ξ^(1+λ) (λ=2) over every prefix of the sorted residuals —
+    one sort + cumsum, so all N candidate trims are evaluated in one
+    fixed-shape pass; `min_trim` floors the search (degenerate tiny subsets
+    always have small e). Returns (R, t, final_weights). NaN-safe: an all-rejected
     iteration keeps the previous pose (point mode via an explicit `where`;
     plane mode because the damped system then returns δ = 0).
     """
@@ -125,12 +131,33 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
         normals = (estimate_normals(tgtf, k=normals_k) if tgt_normals is None
                    else tgt_normals.astype(jnp.float32))
 
-    if not 0.0 <= trim < 1.0:
+    if trim == "auto":
+        pass
+    elif isinstance(trim, str):
+        raise ValueError(f"trim must be a fraction in [0, 1) or 'auto', "
+                         f"got {trim!r}")
+    elif not 0.0 <= trim < 1.0:
         raise ValueError(f"trim must be in [0, 1), got {trim}")
+
+    def auto_cut(resid):
+        """Chetverikov's automatic overlap: minimize ψ(ξ) = e(ξ)/ξ³ where
+        e(ξ) is the mean squared residual of the best ξ·N points — every
+        prefix scored at once via sort + cumsum."""
+        n = resid.shape[-1]
+        r_sorted = jnp.sort(resid, axis=-1)
+        m = jnp.arange(1, n + 1, dtype=jnp.float32)
+        e = jnp.cumsum(r_sorted * r_sorted, axis=-1) / m
+        xi = m / n
+        psi = (e + 1e-12) / (xi ** 3)
+        psi = jnp.where(xi >= min_trim, psi, jnp.inf)
+        best = jnp.argmin(psi, axis=-1)
+        return jnp.take_along_axis(r_sorted, best[..., None], axis=-1)
 
     def robust(resid):
         if tau > 0:
             return w0 * (resid <= tau)
+        if trim == "auto":
+            return w0 * (resid <= auto_cut(resid))
         if trim > 0:
             cut = jnp.quantile(resid, trim, axis=-1, keepdims=True)
             return w0 * (resid <= cut)

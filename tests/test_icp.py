@@ -244,3 +244,35 @@ def test_icp_rejects_unknown_mode(rng):
     with pytest.raises(ValueError, match="unknown ICP mode"):
         icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
                        mode="bogus")
+
+
+def test_icp_auto_trim_estimates_overlap(rng):
+    """trim='auto' (Chetverikov TrICP objective over all sorted-residual
+    prefixes) recovers the pose at ~50% overlap without being told the
+    fraction — and stays harmless at full overlap."""
+    src = _surface_points(rng, 400)[None]
+    R, t = _pose(rng, scale=0.1)
+    # target covers only the x > 0 half: ~half the source has no counterpart
+    half = src[0][src[0, :, 0] > 0]
+    tgt = (half @ R.T + t)[None]
+    R0, t0 = _perturb(R, t, rng, deg=5.0, trans=0.05)
+
+    Rh, th, w = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                               jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                               iters=20, trim="auto", mode="point")
+    assert _rot_angle_deg(np.asarray(Rh)[0], R) < 0.5
+    assert np.linalg.norm(np.asarray(th)[0] - t) < 5e-3
+    # the estimated inlier set is roughly the overlapping half
+    frac = float(np.asarray(w).sum()) / src.shape[1]
+    assert 0.25 < frac < 0.75, frac
+
+    # full overlap: auto-trim keeps most points and converges tightly
+    tgt2 = (src[0] @ R.T + t)[None]
+    R2, t2, w2 = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt2),
+                                jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                                iters=15, trim="auto", mode="point")
+    assert _rot_angle_deg(np.asarray(R2)[0], R) < 0.1
+
+    with pytest.raises(ValueError, match="trim"):
+        icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
+                       trim="bogus")
