@@ -102,7 +102,7 @@ class Registrar:
                 from .ops.icp import icp_refine, nearest_neighbor
                 R, t, w = icp_refine(b["src_pts"], b["tgt_pts"], R, t,
                                      iters=icp_iters, tau=cfg.icp_tau,
-                                     mode=cfg.icp_mode,
+                                     mode=cfg.icp_mode, trim=cfg.icp_trim,
                                      solver=cfg.kabsch_solver,
                                      prior_weights=w)
                 # ICP re-associates by geometry: the covariance must pair

@@ -91,7 +91,14 @@ def _replace_nested(cfg: Any, dotted: str, value: Any):
             cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)})
     current = getattr(cfg, head)
     if current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
-        value = type(current)(value) if not isinstance(value, type(current)) else value
+        if not isinstance(value, type(current)):
+            try:
+                value = type(current)(value)
+            except ValueError:
+                # fields with sentinel string modes (e.g. engine.icp_trim
+                # takes a fraction OR 'auto') keep the string; the consumer
+                # validates and raises its own, clearer error
+                pass
     return dataclasses.replace(cfg, **{head: value})
 
 

@@ -151,6 +151,12 @@ class EngineConfig:
                                     # target PCA normals — converges on
                                     # differently-sampled surfaces where
                                     # point mode stalls)
+    icp_trim: float = 0.0           # >0: keep the best trim-fraction of NN
+                                    # residuals per iteration (TrICP — for
+                                    # partial overlap, where the adaptive
+                                    # scale corrupts); 'auto' (via --set
+                                    # engine.icp_trim=auto) estimates the
+                                    # overlap itself (Chetverikov objective)
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -395,7 +401,8 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
             from ..ops.icp import icp_refine
             R, t, _ = icp_refine(batch["src_pts"], batch["tgt_pts"], R, t,
                                  iters=cfg.icp_iters, tau=cfg.icp_tau,
-                                 mode=cfg.icp_mode, solver=cfg.kabsch_solver)
+                                 mode=cfg.icp_mode, trim=cfg.icp_trim,
+                                 solver=cfg.kabsch_solver)
         b = R.shape[0]
         pred = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (b, 1, 1))
         pred = pred.at[:, :3, :3].set(R).at[:, :3, 3].set(t)
