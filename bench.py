@@ -184,7 +184,10 @@ def main():
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--batches", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--batches", type=int, nargs="+", default=None,
+                    help="batch sizes to sweep; per-mode defaults: "
+                         "inference 16/32/64, train 16/64, global-reg "
+                         "1/8/32 (its FPFH stage holds [B, N, N] buffers)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the TRAINING step instead of inference")
@@ -196,7 +199,8 @@ def main():
     args = ap.parse_args()
 
     if args.global_reg:
-        value, _ = bench_global(batch_sizes=tuple(args.batches), n=args.n, iters=args.iters,
+        value, _ = bench_global(batch_sizes=tuple(args.batches or (1, 8, 32)),
+                                n=args.n, iters=args.iters,
                                 verbose=args.verbose)
         print(json.dumps({
             "metric": f"global_registration_pairs_per_sec_{args.n}pts_single_chip",
@@ -206,7 +210,7 @@ def main():
         }))
         return
     if args.train:
-        value, best_b = bench_train(batch_sizes=tuple(args.batches),
+        value, best_b = bench_train(batch_sizes=tuple(args.batches or (16, 64)),
                                     n=args.n, k=args.k, iters=args.iters,
                                     verbose=args.verbose,
                                     profile_dir=args.profile)
@@ -217,7 +221,8 @@ def main():
             "vs_baseline": round(value / 1000.0, 3),
         }))
         return
-    value, best_b = bench(batch_sizes=tuple(args.batches), n=args.n, k=args.k,
+    value, best_b = bench(batch_sizes=tuple(args.batches or (16, 32, 64)),
+                          n=args.n, k=args.k,
                           iters=args.iters, verbose=args.verbose,
                           profile_dir=args.profile)
     target = 1000.0  # BASELINE.json: >=1000 pairs/s @ 2048 pts on v5e-8
