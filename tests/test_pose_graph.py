@@ -168,3 +168,38 @@ def test_robust_kernel_repairs_corrupted_chain_edge():
 
     with pytest.raises(ValueError, match="unknown robust"):
         optimize_pose_graph(Rg, t0, edges, R_rel, t_rel, robust="bogus")
+
+
+def test_multiway_tool_log_round_trip(tmp_path):
+    """tools/multiway: gt.log in (odometry + a corrupted link + closures) ->
+    optimized absolute-pose log out; the written poses match ground truth."""
+    from se3_equi_graph_registration_tpu.tools.multiway import main
+    from se3_equi_graph_registration_tpu.utils.trajectory import (
+        read_trajectory_log, write_trajectory_log)
+
+    V = 5
+    Rg, tg = _circle_gt(V)
+    gt = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    gt[:, :3, :3], gt[:, :3, 3] = Rg, tg
+
+    odo = {}
+    for i in range(V - 1):
+        odo[f"{i}_{i + 1}"] = np.linalg.inv(gt[i]) @ gt[i + 1]
+    odo["1_2"] = odo["1_2"].copy()
+    odo["1_2"][:3, 3] += [0.25, 0, 0]          # corrupted odometry link
+    closures = {f"{i}_{i + 2}": np.linalg.inv(gt[i]) @ gt[i + 2]
+                for i in range(V - 2)}
+    closures[f"0_{V - 1}"] = np.linalg.inv(gt[0]) @ gt[V - 1]
+
+    write_trajectory_log(str(tmp_path / "odo.log"), odo)
+    write_trajectory_log(str(tmp_path / "loops.log"), closures)
+    main(["--log", str(tmp_path / "odo.log"),
+          "--log", str(tmp_path / "loops.log"),
+          "--out", str(tmp_path / "opt.log")])
+
+    out = read_trajectory_log(str(tmp_path / "opt.log"))
+    assert len(out) == V
+    for k in range(V):
+        T = out[f"0_{k}"]
+        assert np.abs(T[:3, 3] - tg[k]).max() < 1e-3, k
+        assert np.linalg.norm(T[:3, :3] - Rg[k]) < 1e-3, k
