@@ -175,12 +175,20 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     return np.asarray(R), np.asarray(t), info
 
 
-def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, **knobs):
+def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,
+                        **knobs):
     """Batched register_fpfh: src/tgt [B, N, 3] (already fixed-size — pad or
     sample upstream, e.g. with serving.Registrar._fit_n semantics), one
     vmapped jitted program over the pair axis. Same knobs as register_fpfh
     minus the host-side n_points/voxel fitting. Returns (R [B, 3, 3],
-    t [B, 3], info with batched 'weights' and 'pose_covariance')."""
+    t [B, 3], info with batched 'weights' and 'pose_covariance').
+
+    `mesh`: optional `jax.sharding.Mesh` with a 'data' axis — the pair axis
+    shards over it for multi-chip batch registration (each pair is
+    independent, so XLA partitions the whole program with zero collectives;
+    B must be a multiple of the axis size). Same contract as
+    `serving.Registrar(mesh=)` for the learned path.
+    """
     kw = dict(k_normals=30, k_fpfh=60, top_m=512, sigma=0.09,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
@@ -193,6 +201,10 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, **knobs):
     tgt = jnp.asarray(tgt_pts, jnp.float32)
     kw["top_m"] = min(kw["top_m"], src.shape[1])
     keys = jax.random.split(jax.random.PRNGKey(seed), src.shape[0])
+    if mesh is not None:
+        from .parallel.mesh import data_sharding
+        sh = data_sharding(mesh)
+        src, tgt, keys = (jax.device_put(a, sh) for a in (src, tgt, keys))
     R, t, w, cov = _CORE_BATCH(src, tgt, keys, **kw)
     return (np.asarray(R), np.asarray(t),
             {"weights": np.asarray(w), "pose_covariance": np.asarray(cov)})

@@ -219,3 +219,28 @@ def test_register_fpfh_batch_matches_single(bumpy):
 
     with pytest.raises(TypeError, match="unknown register_fpfh_batch"):
         register_fpfh_batch(np.stack(srcs), np.stack(tgts), n_points=512)
+
+
+def test_register_fpfh_batch_mesh_matches_single_device(bumpy):
+    """mesh= shards the pair axis over the virtual 8-device mesh; poses
+    match the unsharded batch call exactly (each pair is independent)."""
+    from se3_equi_graph_registration_tpu.parallel.mesh import local_mesh_for_testing
+    from se3_equi_graph_registration_tpu.registration import register_fpfh_batch
+
+    rng = np.random.default_rng(2)
+    n, b = 256, 8
+    srcs, tgts = [], []
+    for _ in range(b):
+        s = bumpy(rng, n, -1.0, 1.0)
+        R = random_rotation(rng).astype(np.float32)
+        t = (rng.standard_normal(3) * 0.2).astype(np.float32)
+        srcs.append(s)
+        tgts.append(s @ R.T + t)
+    src, tgt = np.stack(srcs), np.stack(tgts)
+
+    kw = dict(icp_iters=4, hypotheses=128, top_m=128)
+    R0, t0, _ = register_fpfh_batch(src, tgt, **kw)
+    R1, t1, _ = register_fpfh_batch(src, tgt,
+                                    mesh=local_mesh_for_testing(8), **kw)
+    np.testing.assert_allclose(R1, R0, atol=2e-5)
+    np.testing.assert_allclose(t1, t0, atol=2e-5)
