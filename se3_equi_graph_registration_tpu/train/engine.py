@@ -218,6 +218,15 @@ def build_optimizer(cfg: EngineConfig,
     return opt
 
 
+def _use_onehot_h_permute(cfg: EngineConfig, interp: bool, n: int) -> bool:
+    """Gate for the bf16 one-hot MXU h-permutes (see `_apply_morton_fast`'s
+    comment): fast compiled Pallas mode only, and N <= 2048 — the one-hot is
+    a [B, N, N] bf16 tensor, O(N²) vs the gather's O(N·C), so at the
+    dense-scaling shapes it would cost gigabytes per permute."""
+    return (cfg.onehot_h_permute and cfg.egnn_impl == "pallas"
+            and not cfg.egnn_accurate and not interp and n <= 2048)
+
+
 def _apply_morton_fast(model, cfg, params, batch):
     """Curve-window fast path (ROADMAP 'Morton window'): sort each cloud along
     a space-filling curve, build the window-restricted k-NN graph in sorted
@@ -258,8 +267,7 @@ def _apply_morton_fast(model, cfg, params, batch):
     # bf16 tensor, O(N^2) vs the gather's O(N*C) — at the dense-scaling
     # shapes (8K-32K) it would cost gigabytes per permute and invalidate
     # the near-linear O(N*W) scaling the window path is built on.
-    onehot_h = (cfg.onehot_h_permute and cfg.egnn_impl == "pallas"
-                and not cfg.egnn_accurate and not interp and n <= 2048)
+    onehot_h = _use_onehot_h_permute(cfg, interp, n)
 
     def embed(h, x):
         # one fused key-value sort replaces argsort + gathers (and the

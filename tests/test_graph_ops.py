@@ -316,3 +316,26 @@ def test_permute_rows_matmul_gradients(rng):
     g_inv_ref = jax.grad(lambda t: jnp.sum(
         jnp.take_along_axis(t, inv[..., None], -2) * w))(h)
     np.testing.assert_array_equal(np.asarray(g_inv), np.asarray(g_inv_ref))
+
+
+def test_onehot_h_permute_gate():
+    """The one-hot MXU h-permute only activates on the fast compiled Pallas
+    path AND at N <= 2048 — its [B, N, N] bf16 one-hot is O(N^2), which
+    would invalidate the near-linear dense-scaling (8K-32K) path."""
+    from se3_equi_graph_registration_tpu.train import engine
+
+    fast = engine.fast_tpu_config(num_nodes=2048)
+    assert engine._use_onehot_h_permute(fast, interp=False, n=2048)
+    # dense shapes: off
+    assert not engine._use_onehot_h_permute(fast, interp=False, n=8192)
+    # interpret (CPU) mode keeps full fp32 numerics: off
+    assert not engine._use_onehot_h_permute(fast, interp=True, n=2048)
+    # accurate mode and the XLA impl never use it
+    import dataclasses
+    acc = dataclasses.replace(fast, egnn_accurate=True)
+    assert not engine._use_onehot_h_permute(acc, interp=False, n=2048)
+    xla = dataclasses.replace(fast, egnn_impl="xla")
+    assert not engine._use_onehot_h_permute(xla, interp=False, n=2048)
+    # and it is opt-in outside the fast config
+    assert not engine._use_onehot_h_permute(
+        engine.EngineConfig(), interp=False, n=2048)
