@@ -33,13 +33,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.se3 import matrix_exp_so3
+from ..core.se3 import matrix_exp_so3, skew
 from .kabsch import _IRLS_KERNELS, kabsch_weighted
+from .svd3 import svd3
 
 
 Array = jax.Array
 
-__all__ = ["icp_refine", "nearest_neighbor", "estimate_normals"]
+__all__ = ["icp_refine", "nearest_neighbor", "estimate_normals",
+           "point_covariances"]
 
 
 def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
@@ -73,12 +75,42 @@ def estimate_normals(points: Array, k: int = 16) -> Array:
     return out.reshape(p.shape)
 
 
+def point_covariances(points: Array, k: int = 16, eps: float = 1e-3
+                      ) -> Array:
+    """GICP-shaped surface covariances [..., M, 3, 3] of points [..., M, 3].
+
+    Per point: PCA of the k-neighborhood, eigenvalues REPLACED by
+    (1, 1, eps) in the local frame (Segal et al.'s plane-like shaping —
+    the surface direction is trusted, the normal direction is not), i.e.
+    C = U diag(1, 1, eps) Uᵀ with U from the degenerate-safe `ops/svd3`.
+    Scale-free by construction, so the Mahalanobis weights in GICP depend
+    only on surface ORIENTATION, not sampling density.
+    """
+    from .knn import knn_graph, pairwise_sq_dists
+    p = points.astype(jnp.float32)
+
+    def one(cloud):
+        n = cloud.shape[0]
+        nbr = knn_graph(cloud, min(k, n))               # [M, K]
+        nbh = cloud[nbr]
+        centered = nbh - jnp.mean(nbh, axis=1, keepdims=True)
+        cov = jnp.einsum("nka,nkb->nab", centered, centered)
+        U, _, _ = svd3(cov)                             # symmetric PSD
+        d = jnp.asarray([1.0, 1.0, eps], jnp.float32)
+        return jnp.einsum("nab,b,ncb->nac", U, d, U)
+
+    flat = p.reshape((-1,) + p.shape[-2:])
+    out = jax.vmap(one)(flat)
+    return out.reshape(p.shape[:-1] + (3, 3))
+
+
 def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
                tau: float = 0.0, kernel: str = "welsch",
                min_sigma: float = 1e-3, solver: str = "svd",
                prior_weights: Array | None = None, mode: str = "point",
                tgt_normals: Array | None = None, normals_k: int = 16,
-               trim: float | str = 0.0, min_trim: float = 0.2
+               trim: float | str = 0.0, min_trim: float = 0.2,
+               src_cov: Array | None = None, tgt_cov: Array | None = None
                ) -> tuple[Array, Array, Array]:
     """ICP from an initial pose (R [..., 3, 3], t [..., 3]).
 
@@ -95,6 +127,12 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     Plane mode converges where point mode stalls — surfaces sampled at
     DIFFERENT points in src and tgt (no exact counterparts), the standard
     scan-matching regime; it is what open3d users pick for the same reason.
+    mode='gicp' is Generalized ICP (Segal et al.; open3d's
+    registration_generalized_icp): each step minimizes Mahalanobis residuals
+    rᵀ(C_y + R C_x Rᵀ)⁻¹r against plane-shaped PCA covariances on BOTH
+    clouds (`point_covariances`, or pass src_cov/tgt_cov) — plane-to-plane,
+    using surface orientation on the source side too; batched 3×3 inverses
+    and one damped 6×6 Gauss-Newton solve per step.
 
     Correspondence weights per iteration: `prior_weights` (e.g. the head's
     inlier weights over src; default ones) times a robust factor of the
@@ -118,9 +156,9 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     if kernel not in _IRLS_KERNELS:
         raise ValueError(f"unknown ICP kernel {kernel!r}; "
                          f"expected one of {sorted(_IRLS_KERNELS)}")
-    if mode not in ("point", "plane"):
+    if mode not in ("point", "plane", "gicp"):
         raise ValueError(f"unknown ICP mode {mode!r}; "
-                         "expected 'point' or 'plane'")
+                         "expected 'point', 'plane', or 'gicp'")
     kfn = _IRLS_KERNELS[kernel]
 
     srcf = src.astype(jnp.float32)
@@ -130,6 +168,11 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     if mode == "plane":
         normals = (estimate_normals(tgtf, k=normals_k) if tgt_normals is None
                    else tgt_normals.astype(jnp.float32))
+    if mode == "gicp":
+        C_src = (point_covariances(srcf, k=normals_k) if src_cov is None
+                 else src_cov.astype(jnp.float32))
+        C_tgt = (point_covariances(tgtf, k=normals_k) if tgt_cov is None
+                 else tgt_cov.astype(jnp.float32))
 
     if trim == "auto":
         pass
@@ -176,6 +219,27 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
             ok = jnp.sum(w, axis=-1) > 0
             R2 = jnp.where(ok[..., None, None], R2, R_)
             t2 = jnp.where(ok[..., None], t2, t_)
+        elif mode == "gicp":
+            # plane-to-plane: Mahalanobis GN against the combined surface
+            # covariance; trimming stays Euclidean (consistent with the
+            # other modes)
+            w = robust(jnp.sqrt(d2))
+            Cy = jnp.take_along_axis(C_tgt, nn[..., None, None], axis=-3)
+            Cx = jnp.einsum("...ab,...nbc,...dc->...nad", R_, C_src, R_)
+            eye3 = jnp.eye(3, dtype=jnp.float32)
+            Minv = jnp.linalg.inv(Cy + Cx + 1e-6 * eye3)     # [..., N, 3, 3]
+            r0 = x - y                                        # [..., N, 3]
+            J = jnp.concatenate([-skew(x),
+                                 jnp.broadcast_to(eye3, x.shape + (3,))],
+                                axis=-1)                      # [..., N, 3, 6]
+            H = jnp.einsum("...n,...nai,...nab,...nbj->...ij", w, J, Minv, J)
+            g = jnp.einsum("...n,...nai,...nab,...nb->...i", w, J, Minv, r0)
+            damp = (1e-8 * jnp.trace(H, axis1=-2, axis2=-1) / 6.0 + 1e-12)
+            H = H + damp[..., None, None] * jnp.eye(6, dtype=H.dtype)
+            delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+            Rd = matrix_exp_so3(delta[..., :3])
+            R2 = Rd @ R_
+            t2 = jnp.einsum("...ij,...j->...i", Rd, t_) + delta[..., 3:]
         else:
             n = jnp.take_along_axis(normals, nn[..., None], axis=-2)
             r = jnp.sum(n * (x - y), axis=-1)                  # [..., N]

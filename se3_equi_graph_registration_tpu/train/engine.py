@@ -150,7 +150,10 @@ class EngineConfig:
                                     # (point-to-plane Gauss-Newton against
                                     # target PCA normals — converges on
                                     # differently-sampled surfaces where
-                                    # point mode stalls)
+                                    # point mode stalls) | 'gicp'
+                                    # (Generalized ICP: plane-to-plane
+                                    # Mahalanobis against covariances on
+                                    # BOTH clouds)
     icp_trim: float = 0.0           # >0: keep the best trim-fraction of NN
                                     # residuals per iteration (TrICP — for
                                     # partial overlap, where the adaptive

@@ -276,3 +276,39 @@ def test_icp_auto_trim_estimates_overlap(rng):
     with pytest.raises(ValueError, match="trim"):
         icp.icp_refine(src, src, jnp.eye(3)[None], jnp.zeros((1, 3)),
                        trim="bogus")
+
+
+def test_icp_gicp_mode_differently_sampled_surface(rng):
+    """Generalized ICP (plane-to-plane Mahalanobis): converges on
+    differently-sampled surfaces like plane mode (measured 0.009 deg vs
+    point mode's 0.43 deg stall on the same problem), and the covariance
+    helper returns plane-shaped PSD matrices."""
+    src = _surface_points(rng, 512)[None]
+    R, t = _pose(rng, scale=0.1)
+    tgt = (_surface_points(rng, 512) @ R.T + t)[None]
+    R0, t0 = _perturb(R, t, rng, deg=6.0, trans=0.05)
+
+    Rh, th, _ = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                               jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                               iters=20, mode="gicp", normals_k=12)
+    assert _rot_angle_deg(np.asarray(Rh)[0], R) < 0.2
+    assert np.linalg.norm(np.asarray(th)[0] - t) < 2e-3
+
+    C = np.asarray(icp.point_covariances(jnp.asarray(src), k=12))
+    assert C.shape == (1, 512, 3, 3)
+    np.testing.assert_allclose(C, np.swapaxes(C, -1, -2), atol=1e-5)
+    ev = np.linalg.eigvalsh(C.reshape(-1, 3, 3))
+    np.testing.assert_allclose(ev[:, 2], 1.0, atol=1e-4)   # surface dirs
+    np.testing.assert_allclose(ev[:, 0], 1e-3, atol=1e-4)  # normal dir
+
+
+def test_icp_gicp_all_rejected_keeps_pose(rng):
+    src = _surface_points(rng, 64)[None]
+    tgt = src + 50.0
+    R0, t0 = _pose(rng)
+    R, t, w = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                             jnp.asarray(R0[None]), jnp.asarray(t0[None]),
+                             iters=3, tau=0.01, mode="gicp")
+    np.testing.assert_allclose(np.asarray(R)[0], R0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t)[0], t0, atol=1e-5)
+    assert np.all(np.asarray(w) == 0)
