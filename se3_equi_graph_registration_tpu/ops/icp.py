@@ -17,7 +17,7 @@ formulation:
   all vanish keeps the previous pose instead of degrading to (I, 0);
 - plane mode (mode='plane') solves the damped 6x6 point-to-plane normal
   equations per step against target PCA normals (`estimate_normals` — one
-  MXU distance matmul + top_k + batched svd3), for the scan-matching regime
+  MXU distance matmul + top_k + closed-form eig3), for the scan-matching regime
   where src and tgt sample the surface at different points.
 
 Unlike `kabsch_irls` (which reweights the NETWORK's putative correspondence
@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..core.se3 import matrix_exp_so3, skew
 from .kabsch import _IRLS_KERNELS, kabsch_weighted
-from .svd3 import svd3
+
 
 
 Array = jax.Array
@@ -61,8 +61,8 @@ def estimate_normals(points: Array, k: int = 16) -> Array:
     """Unit PCA normals [..., M, 3] of points [..., M, 3].
 
     Batched wrapper over the shared PCA-normal core in ops/fpfh
-    (k-NN neighborhoods + smallest singular vector of the neighborhood
-    covariance via the degenerate-safe `ops/svd3`). The fpfh variant's
+    (k-NN neighborhoods + smallest eigenvector of the neighborhood
+    covariance via the closed-form `ops/eig3`). The fpfh variant's
     viewpoint orientation is harmless here: point-to-plane ICP only uses the
     normal in products that square out, so the sign is irrelevant — orient
     explicitly if you need a consistent field. Degenerate (zero-spread)
@@ -81,12 +81,15 @@ def point_covariances(points: Array, k: int = 16, eps: float = 1e-3
 
     Per point: PCA of the k-neighborhood, eigenvalues REPLACED by
     (1, 1, eps) in the local frame (Segal et al.'s plane-like shaping —
-    the surface direction is trusted, the normal direction is not), i.e.
-    C = U diag(1, 1, eps) Uᵀ with U from the degenerate-safe `ops/svd3`.
-    Scale-free by construction, so the Mahalanobis weights in GICP depend
-    only on surface ORIENTATION, not sampling density.
+    the surface direction is trusted, the normal direction is not). With
+    that spectrum the full basis is never needed: U diag(1, 1, eps) Uᵀ
+    = I − (1 − eps)·n nᵀ with n the NORMAL (smallest eigenvector, closed
+    form via `ops/eig3`). Scale-free by construction, so the Mahalanobis
+    weights in GICP depend only on surface ORIENTATION, not sampling
+    density.
     """
-    from .knn import knn_graph, pairwise_sq_dists
+    from .eig3 import smallest_eigvec_sym3
+    from .knn import knn_graph
     p = points.astype(jnp.float32)
 
     def one(cloud):
@@ -95,9 +98,9 @@ def point_covariances(points: Array, k: int = 16, eps: float = 1e-3
         nbh = cloud[nbr]
         centered = nbh - jnp.mean(nbh, axis=1, keepdims=True)
         cov = jnp.einsum("nka,nkb->nab", centered, centered)
-        U, _, _ = svd3(cov)                             # symmetric PSD
-        d = jnp.asarray([1.0, 1.0, eps], jnp.float32)
-        return jnp.einsum("nab,b,ncb->nac", U, d, U)
+        nrm = smallest_eigvec_sym3(cov)                 # [M, 3]
+        eye = jnp.eye(3, dtype=jnp.float32)
+        return eye - (1.0 - eps) * nrm[:, :, None] * nrm[:, None, :]
 
     flat = p.reshape((-1,) + p.shape[-2:])
     out = jax.vmap(one)(flat)
