@@ -28,6 +28,7 @@ import numpy as np
 from .ops import fpfh as fpfh_lib
 from .ops.icp import icp_refine
 from .ops.kabsch import kabsch_irls, kabsch_weighted, pose_covariance
+from .ops.fgr import fgr_pose
 from .ops.ransac import ransac_pose
 from .ops.spectral import spectral_match_weights
 
@@ -80,13 +81,18 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
         # the single-shot spectral eigenvector at low overlap
         R, t, w = ransac_pose(src, tgt_corr, scores, key, top_m=top_m,
                               hypotheses=hypotheses, inlier_tau=sigma)
+    elif coarse == "fgr":
+        # graduated non-convexity on Geman-McClure (ops/fgr) — the
+        # open3d-FGR capability; `hypotheses` sizes the tuple-test draw
+        R, t, w = fgr_pose(src, tgt_corr, scores, key, top_m=top_m,
+                           tuples=hypotheses, delta=sigma)
     elif coarse == "spectral":
         w = spectral_match_weights(src, tgt_corr, scores, top_m=top_m,
                                    sigma=sigma, iters=spectral_iters)
         R, t = kabsch_weighted(src, tgt_corr, w)
     else:
         raise ValueError(f"unknown coarse stage {coarse!r}; "
-                         "expected 'spectral' or 'ransac'")
+                         "expected 'spectral', 'ransac', or 'fgr'")
     if refine_iters > 0:
         R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters)
     if icp_iters > 0:
@@ -146,7 +152,11 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     40% overlap where the single-shot eigenvector failed 5/5, and equal at
     high overlap) or 'spectral' (ops/spectral.py — deterministic, no RNG;
     the right pick when putative matches are dense and mostly right, e.g.
-    the learned head's correspondences). For low-overlap pairs also set
+    the learned head's correspondences) or 'fgr' (ops/fgr.py — graduated
+    non-convexity with a tuple test, the open3d
+    registration_fgr_based_on_feature_matching capability; `hypotheses`
+    sizes its tuple draw and `sigma` is its Geman-McClure scale floor).
+    For low-overlap pairs also set
     `icp_trim` — either the overlap fraction if known, or 'auto'
     (Chetverikov TrICP objective — estimates the overlap itself each
     iteration; measured 0.17-0.50° at 40% overlap with no tuning).
