@@ -40,8 +40,8 @@ from .kabsch import _IRLS_KERNELS, kabsch_weighted
 
 Array = jax.Array
 
-__all__ = ["icp_refine", "nearest_neighbor", "estimate_normals",
-           "point_covariances"]
+__all__ = ["icp_refine", "icp_refine_multiscale", "nearest_neighbor",
+           "estimate_normals", "point_covariances"]
 
 
 def nearest_neighbor(query: Array, points: Array) -> tuple[Array, Array]:
@@ -265,3 +265,63 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
         body, (R.astype(jnp.float32), t.astype(jnp.float32)), None,
         length=iters)
     return R, t, ws[-1]
+
+
+def icp_refine_multiscale(src: Array, tgt: Array, R: Array, t: Array,
+                          voxel_sizes=(0.10, 0.05, 0.0), iters=10,
+                          prior_weights: Array | None = None, **kw
+                          ) -> tuple[Array, Array, Array]:
+    """Coarse-to-fine ICP over a voxel pyramid (open3d's ``multi_scale_icp``).
+
+    Runs `icp_refine` once per entry of ``voxel_sizes`` (a static Python
+    tuple, coarsest first): entries > 0 register `ops/voxel.voxel_downsample`
+    centroids of both clouds at that cell size — a SMOOTHER objective (cell
+    averaging low-passes surface detail, widening the convergence basin
+    exactly like the classic image-pyramid argument) — and an entry of 0.0
+    runs on the raw clouds. An entry may also be a ``(voxel_size, num_out)``
+    pair with a static ``num_out < N``: the coarse scale then genuinely
+    SHRINKS (its O(N·M) NN matmul by the square), instead of only padding.
+    ``iters`` is shared per scale, or a sequence matched to ``voxel_sizes``.
+    Every scale keeps static shapes (the downsample pads by replicating
+    valid centroids; their weight is zeroed via the validity mask as the
+    scale's `prior_weights`), so the whole pyramid jits as one program.
+    ``prior_weights`` (over raw src rows) applies only to 0.0-scales — there
+    is no point↔centroid correspondence to map it through at coarser ones.
+    Returns (R, t, weights-of-the-final-scale); if the final scale is
+    coarser than 0.0 the weights index its downsampled cloud. Remaining
+    kwargs (mode / trim / tau / kernel / solver ...) forward to every scale.
+
+    Pick coarse cells well below the cloud's structure scale: a cell size
+    at which many points fall in every cell collapses the centroids toward
+    the voxel GRID itself, whose cubic symmetry can snap a coarse scale to
+    a ~90-deg alias (measured on a dense uniform volume at ~8 points/cell —
+    the same failure open3d's multi_scale_icp has there). Surface scans at
+    a few points per occupied cell are the intended regime.
+    """
+    from .voxel import voxel_downsample
+    voxel_sizes = tuple(voxel_sizes)
+    if not voxel_sizes:
+        raise ValueError("voxel_sizes must name at least one scale")
+    if isinstance(iters, int):
+        iters = (iters,) * len(voxel_sizes)
+    if len(iters) != len(voxel_sizes):
+        raise ValueError(f"iters has {len(iters)} entries for "
+                         f"{len(voxel_sizes)} scales")
+    w = (jnp.ones(src.shape[:-1], jnp.float32) if prior_weights is None
+         else prior_weights.astype(jnp.float32))
+    for v, it in zip(voxel_sizes, iters):
+        v, num_out = v if isinstance(v, (tuple, list)) else (v, None)
+        if it <= 0:
+            continue
+        if v > 0:
+            s, smask, _ = voxel_downsample(src, v, num_out=num_out)
+            g, _, _ = voxel_downsample(tgt, v, num_out=num_out)
+            R, t, w = icp_refine(s, g, R, t, iters=it,
+                                 prior_weights=smask.astype(jnp.float32),
+                                 **kw)
+        else:
+            if num_out is not None:
+                raise ValueError("num_out requires a voxel size > 0")
+            R, t, w = icp_refine(src, tgt, R, t, iters=it,
+                                 prior_weights=prior_weights, **kw)
+    return R, t, w

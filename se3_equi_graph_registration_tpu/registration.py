@@ -61,7 +61,7 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                    k_fpfh: int, top_m: int, sigma: float,
                    spectral_iters: int, refine_iters: int, icp_iters: int,
                    icp_mode: str, icp_tau: float, icp_trim: float,
-                   coarse: str, hypotheses: int):
+                   icp_voxels: tuple, coarse: str, hypotheses: int):
     # 'local' orientation is pose-EQUIVARIANT (away from the neighborhood
     # centroid) — viewpoint orientation would give the two frames different
     # normal signs and scramble the sign-sensitive Darboux angles
@@ -96,12 +96,23 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
     if refine_iters > 0:
         R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters)
     if icp_iters > 0:
-        R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
-                                 iters=icp_iters, mode=icp_mode, tau=icp_tau,
-                                 trim=icp_trim,
-                                 tgt_normals=(n_tgt[None]
-                                              if icp_mode == "plane"
-                                              else None))
+        if icp_voxels:
+            if icp_voxels[-1]:
+                raise ValueError("icp_voxels must end at 0.0 (raw clouds): "
+                                 "the final weights pair with the raw source "
+                                 f"points for the covariance; got {icp_voxels}")
+            from .ops.icp import icp_refine_multiscale
+            R, t, w_icp = icp_refine_multiscale(
+                src[None], tgt[None], R[None], t[None],
+                voxel_sizes=icp_voxels, iters=icp_iters, mode=icp_mode,
+                tau=icp_tau, trim=icp_trim, normals_k=k_normals)
+        else:
+            R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
+                                     iters=icp_iters, mode=icp_mode,
+                                     tau=icp_tau, trim=icp_trim,
+                                     tgt_normals=(n_tgt[None]
+                                                  if icp_mode == "plane"
+                                                  else None))
         R, t, w = R[0], t[0], w_icp[0]   # w: the FINAL (NN-associated) set
         posed = src @ R.T + t
         from .ops.icp import nearest_neighbor
@@ -113,8 +124,8 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
 
 
 _STATIC = ("k_normals", "k_fpfh", "top_m", "spectral_iters", "refine_iters",
-           "icp_iters", "icp_mode", "icp_tau", "icp_trim", "coarse",
-           "hypotheses")
+           "icp_iters", "icp_mode", "icp_tau", "icp_trim", "icp_voxels",
+           "coarse", "hypotheses")
 _CORE = jax.jit(_register_core, static_argnames=_STATIC)
 
 
@@ -135,8 +146,8 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                   spectral_iters: int = 12, refine_iters: int = 5,
                   icp_iters: int = 10, icp_mode: str = "plane",
                   icp_tau: float = 0.0, icp_trim: float | str = 0.0,
-                  coarse: str = "ransac", hypotheses: int = 512,
-                  seed: int = 0):
+                  icp_voxels: tuple = (), coarse: str = "ransac",
+                  hypotheses: int = 512, seed: int = 0):
     """Register two raw point clouds with no learned model.
 
     src_pts/tgt_pts: [N, 3] arrays (any N — host-side voxel downsample when
@@ -178,8 +189,8 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                          spectral_iters=spectral_iters,
                          refine_iters=refine_iters, icp_iters=icp_iters,
                          icp_mode=icp_mode, icp_tau=icp_tau,
-                         icp_trim=icp_trim, coarse=coarse,
-                         hypotheses=hypotheses)
+                         icp_trim=icp_trim, icp_voxels=tuple(icp_voxels),
+                         coarse=coarse, hypotheses=hypotheses)
     info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
             "indices": src_idx}
     return np.asarray(R), np.asarray(t), info
@@ -201,12 +212,13 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,
     """
     kw = dict(k_normals=30, k_fpfh=60, top_m=512, sigma=0.09,
               spectral_iters=12, refine_iters=5, icp_iters=10,
-              icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
+              icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
               coarse="ransac", hypotheses=512)
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown register_fpfh_batch knobs: {sorted(unknown)}")
     kw.update(knobs)
+    kw["icp_voxels"] = tuple(kw["icp_voxels"])   # hashable for the static jit
     src = jnp.asarray(src_pts, jnp.float32)
     tgt = jnp.asarray(tgt_pts, jnp.float32)
     kw["top_m"] = min(kw["top_m"], src.shape[1])

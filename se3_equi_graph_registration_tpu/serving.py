@@ -73,6 +73,11 @@ class Registrar:
         spectral_topm = (cfg.spectral_topm if spectral_topm is None
                          else spectral_topm)
         icp_iters = cfg.icp_iters if icp_iters is None else icp_iters
+        if icp_iters > 0 and cfg.icp_voxels and cfg.icp_voxels[-1]:
+            raise ValueError(
+                "cfg.icp_voxels must end at 0.0 (raw clouds): the final ICP "
+                "weights pair with the raw source points for the pose "
+                f"covariance; got {cfg.icp_voxels}")
         self.cfg = cfg
         self.mesh = mesh
         self.model = engine.build_model(cfg, head_mode=head_mode)
@@ -99,12 +104,21 @@ class Registrar:
                                       solver=cfg.kabsch_solver)
             cov_tgt = b["tgt_pts"]
             if icp_iters > 0:
-                from .ops.icp import icp_refine, nearest_neighbor
-                R, t, w = icp_refine(b["src_pts"], b["tgt_pts"], R, t,
-                                     iters=icp_iters, tau=cfg.icp_tau,
-                                     mode=cfg.icp_mode, trim=cfg.icp_trim,
-                                     solver=cfg.kabsch_solver,
-                                     prior_weights=w)
+                from .ops.icp import (icp_refine, icp_refine_multiscale,
+                                      nearest_neighbor)
+                if cfg.icp_voxels:
+                    R, t, w = icp_refine_multiscale(
+                        b["src_pts"], b["tgt_pts"], R, t,
+                        voxel_sizes=cfg.icp_voxels, iters=icp_iters,
+                        tau=cfg.icp_tau, mode=cfg.icp_mode,
+                        trim=cfg.icp_trim, solver=cfg.kabsch_solver,
+                        prior_weights=w)
+                else:
+                    R, t, w = icp_refine(b["src_pts"], b["tgt_pts"], R, t,
+                                         iters=icp_iters, tau=cfg.icp_tau,
+                                         mode=cfg.icp_mode, trim=cfg.icp_trim,
+                                         solver=cfg.kabsch_solver,
+                                         prior_weights=w)
                 # ICP re-associates by geometry: the covariance must pair
                 # each source point with its NN target, not the (now stale)
                 # putative index-aligned correspondence

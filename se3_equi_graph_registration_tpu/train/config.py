@@ -90,7 +90,12 @@ def _replace_nested(cfg: Any, dotted: str, value: Any):
         return dataclasses.replace(
             cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)})
     current = getattr(cfg, head)
-    if current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
+    if isinstance(current, tuple) and isinstance(value, str):
+        # comma-separated numeric tuples (e.g. engine.icp_voxels=0.4,0.15,0)
+        value = tuple(float(v) for v in value.split(",") if v != "")
+    elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
+        value = tuple(value)
+    elif current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
         if not isinstance(value, type(current)):
             try:
                 value = type(current)(value)

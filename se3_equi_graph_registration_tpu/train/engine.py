@@ -160,6 +160,12 @@ class EngineConfig:
                                     # scale corrupts); 'auto' (via --set
                                     # engine.icp_trim=auto) estimates the
                                     # overlap itself (Chetverikov objective)
+    icp_voxels: tuple = ()          # non-empty: coarse-to-fine ICP over this
+                                    # voxel pyramid (ops/icp.py
+                                    # icp_refine_multiscale; e.g. (0.4, 0.15,
+                                    # 0.0), 0.0 = raw clouds; icp_iters per
+                                    # scale). CLI: --set
+                                    # engine.icp_voxels=0.4,0.15,0
     use_pointnet: bool = False      # end-to-end descriptor encoder
     grad_accum_steps: int = 1       # optax.MultiSteps micro-batching
     bf16_params: bool = False       # live params in bf16 with stochastic-
@@ -409,11 +415,18 @@ def make_eval_step(model: RegistrationModel, cfg: EngineConfig,
                                   kernel=cfg.refine_kernel,
                                   solver=cfg.kabsch_solver)
         if cfg.icp_iters > 0:
-            from ..ops.icp import icp_refine
-            R, t, _ = icp_refine(batch["src_pts"], batch["tgt_pts"], R, t,
-                                 iters=cfg.icp_iters, tau=cfg.icp_tau,
-                                 mode=cfg.icp_mode, trim=cfg.icp_trim,
-                                 solver=cfg.kabsch_solver)
+            from ..ops.icp import icp_refine, icp_refine_multiscale
+            if cfg.icp_voxels:
+                R, t, _ = icp_refine_multiscale(
+                    batch["src_pts"], batch["tgt_pts"], R, t,
+                    voxel_sizes=cfg.icp_voxels, iters=cfg.icp_iters,
+                    tau=cfg.icp_tau, mode=cfg.icp_mode, trim=cfg.icp_trim,
+                    solver=cfg.kabsch_solver)
+            else:
+                R, t, _ = icp_refine(batch["src_pts"], batch["tgt_pts"], R, t,
+                                     iters=cfg.icp_iters, tau=cfg.icp_tau,
+                                     mode=cfg.icp_mode, trim=cfg.icp_trim,
+                                     solver=cfg.kabsch_solver)
         b = R.shape[0]
         pred = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (b, 1, 1))
         pred = pred.at[:, :3, :3].set(R).at[:, :3, 3].set(t)

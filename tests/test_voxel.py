@@ -1,0 +1,204 @@
+"""Tests for fixed-shape voxel downsampling (ops/voxel.py) and multiscale ICP.
+
+The reference's pipeline gets voxel downsampling from open3d on host CPU
+(/root/reference/data_preprocess/process_kitti.py:21-38); ops/voxel.py is the
+device-side fixed-shape equivalent, and `icp_refine_multiscale` composes it
+into the open3d `multi_scale_icp` capability.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se3_equi_graph_registration_tpu.data.synthetic import random_rotation
+from se3_equi_graph_registration_tpu.ops import icp
+from se3_equi_graph_registration_tpu.ops.voxel import voxel_downsample
+
+
+def _oracle(pts, v):
+    cells = np.floor(pts / v).astype(np.int64)
+    uniq, inv = np.unique(cells, axis=0, return_inverse=True)
+    return np.stack([pts[inv == i].mean(0) for i in range(len(uniq))])
+
+
+def test_voxel_downsample_matches_numpy_oracle(rng):
+    """Valid rows = one centroid per occupied voxel, lexicographic cell
+    order, exact means; padding rows cyclically replicate valid rows."""
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    v = 0.25
+    cent, mask, cnt = jax.jit(lambda p: voxel_downsample(p, v))(
+        jnp.asarray(pts))
+    cent, mask, cnt = np.asarray(cent), np.asarray(mask), int(cnt)
+    oracle = _oracle(pts, v)
+    assert cnt == len(oracle)
+    np.testing.assert_allclose(cent[:cnt], oracle, atol=1e-5)
+    assert mask.sum() == cnt and mask[:cnt].all()
+    pad = np.arange(300)[~mask]
+    np.testing.assert_array_equal(cent[pad], cent[pad % cnt])
+
+
+def test_voxel_downsample_num_out_spreads(rng):
+    """Static num_out < occupied voxels: every output row is a real
+    centroid, all marked valid, spread across the cloud (not a
+    low-coordinate prefix)."""
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    cent, mask, cnt = voxel_downsample(jnp.asarray(pts), 0.1, num_out=64)
+    cent, mask = np.asarray(cent), np.asarray(mask)
+    assert cent.shape == (64, 3) and int(cnt) == 64 and mask.all()
+    oracle = _oracle(pts, 0.1)
+    d = np.linalg.norm(cent[:, None] - oracle[None], axis=-1).min(1)
+    assert d.max() < 1e-5
+    # spread covers the x extent (a prefix of the lex order would not)
+    assert cent[:, 0].min() < -0.8 and cent[:, 0].max() > 0.8
+    # and rows are distinct voxels
+    assert len(np.unique(np.round(cent, 5), axis=0)) == 64
+
+
+def test_voxel_downsample_batched_and_validation(rng):
+    pts = rng.uniform(-1, 1, (2, 3, 128, 3)).astype(np.float32)
+    cent, mask, cnt = voxel_downsample(jnp.asarray(pts), 0.5)
+    assert cent.shape == (2, 3, 128, 3)
+    assert mask.shape == (2, 3, 128) and cnt.shape == (2, 3)
+    # counts match the per-cloud oracle
+    for i in range(2):
+        for j in range(3):
+            assert int(np.asarray(cnt)[i, j]) == len(_oracle(pts[i, j], 0.5))
+    with pytest.raises(ValueError, match="scalar"):
+        voxel_downsample(jnp.asarray(pts), jnp.ones(3))
+    with pytest.raises(ValueError, match="num_out"):
+        voxel_downsample(jnp.asarray(pts), 0.5, num_out=0)
+
+
+def _surface(rng, n, f=6.0):
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = 0.3 * np.sin(f * xy[:, 0]) * np.cos(f * xy[:, 1])
+    return np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+
+
+def _rot_deg(Ra, Rb):
+    d = np.linalg.norm(Ra - Rb) / np.sqrt(2.0)
+    return np.degrees(2.0 * np.arcsin(np.clip(d / 2.0, 0.0, 1.0)))
+
+
+def _perturb(R, t, rng, deg, trans):
+    axis = rng.standard_normal(3)
+    axis /= np.linalg.norm(axis)
+    a = np.radians(deg)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]], np.float32)
+    dR = np.eye(3, dtype=np.float32) + np.sin(a) * K + (1 - np.cos(a)) * K @ K
+    return (dR @ R).astype(np.float32), (
+        t + rng.standard_normal(3).astype(np.float32) * trans)
+
+
+def test_multiscale_icp_widens_the_basin():
+    """Deterministic pinned case (high-frequency rippled surface, init 30
+    deg / 40 cm off): fine-only plane ICP locks into a wrong ripple lobe
+    (measured 25.95 deg) while the voxel pyramid — whose coarse 0.5-cell
+    centroids average the ripples away — converges to 0.03 deg / 0.05 cm.
+    The coarse scales also genuinely SHRINK via num_out (256 points ->
+    16x cheaper NN matmul)."""
+    r = np.random.default_rng(3)
+    src = _surface(r, 1024)[None]
+    R = random_rotation(r).astype(np.float32)
+    t = (r.standard_normal(3) * 0.1).astype(np.float32)
+    tgt = (_surface(r, 1024) @ R.T + t)[None]
+    R0, t0 = _perturb(R, t, r, deg=30.0, trans=0.4)
+    args = (jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(R0[None]),
+            jnp.asarray(t0[None]))
+
+    Rf, tf, _ = icp.icp_refine(*args, iters=45, mode="plane", normals_k=12)
+    assert _rot_deg(np.asarray(Rf)[0], R) > 5.0   # fine-only fails here
+
+    Rm, tm, wm = jax.jit(lambda *a: icp.icp_refine_multiscale(
+        *a, voxel_sizes=((0.5, 256), (0.2, 512), 0.0), iters=(15, 15, 15),
+        mode="plane", normals_k=12))(*args)
+    assert _rot_deg(np.asarray(Rm)[0], R) < 1.0
+    assert np.linalg.norm(np.asarray(tm)[0] - t) < 0.01
+    assert wm.shape == (1, 1024)   # final-scale weights index the raw cloud
+
+
+def test_multiscale_icp_matches_single_scale_on_easy_problem(rng):
+    """On a well-posed problem the pyramid must not degrade the fine
+    answer: both end sub-0.1-deg from an 8-deg perturbation."""
+    src = rng.standard_normal((2, 256, 3)).astype(np.float32)
+    poses = [(random_rotation(rng).astype(np.float32),
+              (rng.standard_normal(3) * 0.5).astype(np.float32))
+             for _ in range(2)]
+    tgt = np.stack([s @ R.T + t for s, (R, t) in zip(src, poses)])
+    init = [_perturb(R, t, rng, 8.0, 0.1) for (R, t) in poses]
+    R0 = jnp.asarray(np.stack([p[0] for p in init]))
+    t0 = jnp.asarray(np.stack([p[1] for p in init]))
+
+    R, t, _ = icp.icp_refine_multiscale(
+        jnp.asarray(src), jnp.asarray(tgt), R0, t0,
+        voxel_sizes=(0.6, 0.0), iters=(8, 12))
+    for b, (Rg, tg) in enumerate(poses):
+        assert _rot_deg(np.asarray(R)[b], Rg) < 0.1
+        assert np.linalg.norm(np.asarray(t)[b] - tg) < 1e-3
+
+
+def test_multiscale_icp_validation(rng):
+    src = jnp.zeros((1, 8, 3))
+    eye, z = jnp.eye(3)[None], jnp.zeros((1, 3))
+    with pytest.raises(ValueError, match="at least one scale"):
+        icp.icp_refine_multiscale(src, src, eye, z, voxel_sizes=())
+    with pytest.raises(ValueError, match="entries"):
+        icp.icp_refine_multiscale(src, src, eye, z, voxel_sizes=(0.1, 0.0),
+                                  iters=(3,))
+    with pytest.raises(ValueError, match="num_out"):
+        icp.icp_refine_multiscale(src, src, eye, z,
+                                  voxel_sizes=((0.0, 4),))
+
+
+def test_icp_voxels_config_override_and_eval_step(rng):
+    """engine.icp_voxels parses from the CLI dotted-override string and the
+    multiscale pyramid composes through make_eval_step with finite
+    metrics."""
+    from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
+    from se3_equi_graph_registration_tpu.train import config as config_lib
+    from se3_equi_graph_registration_tpu.train import engine
+
+    cfg = config_lib.apply_overrides(
+        config_lib.ExperimentConfig(),
+        {"engine.icp_voxels": "0.4,0.15,0", "engine.icp_iters": 3})
+    assert cfg.engine.icp_voxels == (0.4, 0.15, 0.0)
+    assert cfg.engine.icp_iters == 3
+
+    b, n, k, c = 2, 256, 8, 16
+    pb = make_pair_batch(rng, batch=b, n=n, feat_dim=c, noise=0.005)
+    batch = engine.batch_to_device((pb.corr, pb.labels, pb.src_pts,
+                                    pb.tgt_pts, pb.src_feat, pb.tgt_feat,
+                                    pb.gt_pose))
+    ecfg = engine.EngineConfig(num_nodes=n, k=k, in_node_nf=c, top_k=64,
+                               icp_iters=3, icp_voxels=(0.4, 0.0))
+    model = engine.build_model(ecfg, head_mode="eval_fusion")
+    nbr = jnp.zeros((b, n, k), jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["src_feat"], batch["src_pts"], nbr,
+        batch["tgt_feat"], batch["tgt_pts"], nbr, batch["labels"])
+    m = engine.make_eval_step(model, ecfg)(params, batch)
+    for key, v in m.items():
+        assert np.all(np.isfinite(np.asarray(v))), key
+
+
+def test_register_fpfh_accepts_voxel_pyramid(rng):
+    """The checkpoint-free pipeline takes icp_voxels; a non-0-terminated
+    pyramid is rejected loudly (final weights pair with raw points)."""
+    from se3_equi_graph_registration_tpu import registration
+
+    src = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.1).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+
+    Rh, th, info = registration.register_fpfh(
+        src, tgt, n_points=256, top_m=128, hypotheses=64,
+        icp_iters=4, icp_voxels=(0.5, 0.0))
+    assert _rot_deg(Rh, R) < 2.0
+    assert np.linalg.norm(th - t) < 0.05
+
+    with pytest.raises(ValueError, match="end at 0.0"):
+        registration.register_fpfh(src, tgt, n_points=256, top_m=128,
+                                   hypotheses=64, icp_iters=4,
+                                   icp_voxels=(0.5, 0.2))
