@@ -142,7 +142,7 @@ def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False):
     kw = dict(k_normals=30, k_fpfh=60, top_m=min(512, n), sigma=0.09,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
-              coarse="ransac", hypotheses=512)
+              icp_voxels=(), coarse="ransac", hypotheses=512)
 
     best, best_b = 0.0, None
     rng = np.random.default_rng(0)

@@ -111,7 +111,8 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
                tau: float = 0.0, kernel: str = "welsch",
                min_sigma: float = 1e-3, solver: str = "svd",
                prior_weights: Array | None = None, mode: str = "point",
-               tgt_normals: Array | None = None, normals_k: int = 16,
+               tgt_normals: Array | None = None,
+               src_normals: Array | None = None, normals_k: int = 16,
                trim: float | str = 0.0, min_trim: float = 0.2,
                src_cov: Array | None = None, tgt_cov: Array | None = None
                ) -> tuple[Array, Array, Array]:
@@ -130,6 +131,20 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     Plane mode converges where point mode stalls — surfaces sampled at
     DIFFERENT points in src and tgt (no exact counterparts), the standard
     scan-matching regime; it is what open3d users pick for the same reason.
+    mode='symmetric' is the symmetric point-to-plane objective
+    (Rusinkiewicz, "A symmetric objective function for ICP", SIGGRAPH 2019):
+    residuals (x − y)·(n_x + n_y) against the SUM of the posed source normal
+    and the target normal (each source normal sign-aligned to its paired
+    target normal first — PCA normals are unoriented). The combined normal
+    zeroes the residual anywhere on the locally-second-order surface between
+    the two samplings instead of on the target's tangent plane alone, which
+    both widens the convergence basin and removes point-to-plane's bias on
+    curved surfaces sampled at different points; linearization about the
+    source pose (one-sided parameterization) keeps the same damped 6×6
+    Gauss-Newton step as plane mode with n replaced by the combined normal.
+    `src_normals` precomputes the source field (else `estimate_normals(src,
+    normals_k)` once up front, rotated by the current pose each iteration).
+
     mode='gicp' is Generalized ICP (Segal et al.; open3d's
     registration_generalized_icp): each step minimizes Mahalanobis residuals
     rᵀ(C_y + R C_x Rᵀ)⁻¹r against plane-shaped PCA covariances on BOTH
@@ -159,18 +174,21 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
     if kernel not in _IRLS_KERNELS:
         raise ValueError(f"unknown ICP kernel {kernel!r}; "
                          f"expected one of {sorted(_IRLS_KERNELS)}")
-    if mode not in ("point", "plane", "gicp"):
-        raise ValueError(f"unknown ICP mode {mode!r}; "
-                         "expected 'point', 'plane', or 'gicp'")
+    if mode not in ("point", "plane", "symmetric", "gicp"):
+        raise ValueError(f"unknown ICP mode {mode!r}; expected 'point', "
+                         "'plane', 'symmetric', or 'gicp'")
     kfn = _IRLS_KERNELS[kernel]
 
     srcf = src.astype(jnp.float32)
     tgtf = tgt.astype(jnp.float32)
     w0 = (jnp.ones(srcf.shape[:-1], jnp.float32) if prior_weights is None
           else prior_weights.astype(jnp.float32))
-    if mode == "plane":
+    if mode in ("plane", "symmetric"):
         normals = (estimate_normals(tgtf, k=normals_k) if tgt_normals is None
                    else tgt_normals.astype(jnp.float32))
+    if mode == "symmetric":
+        nsrc = (estimate_normals(srcf, k=normals_k) if src_normals is None
+                else src_normals.astype(jnp.float32))
     if mode == "gicp":
         C_src = (point_covariances(srcf, k=normals_k) if src_cov is None
                  else src_cov.astype(jnp.float32))
@@ -245,6 +263,16 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
             t2 = jnp.einsum("...ij,...j->...i", Rd, t_) + delta[..., 3:]
         else:
             n = jnp.take_along_axis(normals, nn[..., None], axis=-2)
+            if mode == "symmetric":
+                # combined normal n_tgt + n_src (posed): residuals vanish on
+                # the locally-quadratic surface BETWEEN the two samplings,
+                # not on the target's tangent plane. PCA normals are
+                # unoriented, so flip each source normal to agree with its
+                # paired target normal before summing (an anti-aligned pair
+                # would cancel to ~0 and mute the residual).
+                nx = jnp.einsum("...ij,...nj->...ni", R_, nsrc)
+                sgn = jnp.sign(jnp.sum(nx * n, axis=-1, keepdims=True))
+                n = n + jnp.where(sgn == 0.0, 1.0, sgn) * nx
             r = jnp.sum(n * (x - y), axis=-1)                  # [..., N]
             w = robust(jnp.abs(r))
             a = jnp.concatenate([jnp.cross(x, n), n], axis=-1)  # [..., N, 6]

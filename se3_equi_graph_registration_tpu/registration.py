@@ -110,9 +110,14 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
             R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
                                      iters=icp_iters, mode=icp_mode,
                                      tau=icp_tau, trim=icp_trim,
-                                     tgt_normals=(n_tgt[None]
-                                                  if icp_mode == "plane"
-                                                  else None))
+                                     tgt_normals=(
+                                         n_tgt[None]
+                                         if icp_mode in ("plane", "symmetric")
+                                         else None),
+                                     src_normals=(
+                                         n_src[None]
+                                         if icp_mode == "symmetric"
+                                         else None))
         R, t, w = R[0], t[0], w_icp[0]   # w: the FINAL (NN-associated) set
         posed = src @ R.T + t
         from .ops.icp import nearest_neighbor

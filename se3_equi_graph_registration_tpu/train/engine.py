@@ -150,7 +150,10 @@ class EngineConfig:
                                     # (point-to-plane Gauss-Newton against
                                     # target PCA normals — converges on
                                     # differently-sampled surfaces where
-                                    # point mode stalls) | 'gicp'
+                                    # point mode stalls) | 'symmetric'
+                                    # (Rusinkiewicz's combined-normal
+                                    # objective — wider basin, unbiased on
+                                    # curved surfaces) | 'gicp'
                                     # (Generalized ICP: plane-to-plane
                                     # Mahalanobis against covariances on
                                     # BOTH clouds)

@@ -312,3 +312,55 @@ def test_icp_gicp_all_rejected_keeps_pose(rng):
     np.testing.assert_allclose(np.asarray(R)[0], R0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t)[0], t0, atol=1e-5)
     assert np.all(np.asarray(w) == 0)
+
+
+def test_icp_symmetric_mode_differently_sampled_surface(rng):
+    """Rusinkiewicz's symmetric objective (combined source+target normals):
+    converges on differently-sampled surfaces at the same sub-0.1-deg /
+    sub-mm level as plane mode (measured 0.01-0.05 deg across seeds), and
+    from a 20-deg-off init in the same fixed iteration budget."""
+    src = _surface_points(rng, 512)[None]
+    R, t = _pose(rng, scale=0.1)
+    tgt = (_surface_points(rng, 512) @ R.T + t)[None]
+
+    for deg, iters in ((6.0, 20), (20.0, 30)):
+        R0, t0 = _perturb(R, t, rng, deg=deg, trans=0.05)
+        Rs, ts, _ = icp.icp_refine(jnp.asarray(src), jnp.asarray(tgt),
+                                   jnp.asarray(R0[None]),
+                                   jnp.asarray(t0[None]),
+                                   iters=iters, mode="symmetric",
+                                   normals_k=12)
+        rot_s = _rot_angle_deg(np.asarray(Rs)[0], R)
+        trans_s = np.linalg.norm(np.asarray(ts)[0] - t)
+        assert rot_s < 0.2, (deg, rot_s)
+        assert trans_s < 2e-3, (deg, trans_s)
+
+
+def test_icp_symmetric_invariant_to_normal_signs(rng):
+    """PCA normals are unoriented; the per-pair sign alignment makes the
+    symmetric solve exactly invariant to independent sign flips of either
+    precomputed normal field (the combined normal flips as a unit, and the
+    Gauss-Newton system is quadratic in it)."""
+    src = _surface_points(rng, 256)[None]
+    R, t = _pose(rng, scale=0.1)
+    tgt = (_surface_points(rng, 256) @ R.T + t)[None]
+    R0, t0 = _perturb(R, t, rng, deg=5.0, trans=0.04)
+
+    n_src = icp.estimate_normals(jnp.asarray(src), k=12)
+    n_tgt = icp.estimate_normals(jnp.asarray(tgt), k=12)
+    flip_s = jnp.asarray(rng.choice([-1.0, 1.0], size=(1, 256, 1))
+                         .astype(np.float32))
+    flip_t = jnp.asarray(rng.choice([-1.0, 1.0], size=(1, 256, 1))
+                         .astype(np.float32))
+
+    args = (jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(R0[None]),
+            jnp.asarray(t0[None]))
+    Ra, ta, _ = icp.icp_refine(*args, iters=8, mode="symmetric",
+                               src_normals=n_src, tgt_normals=n_tgt)
+    Rb, tb, _ = icp.icp_refine(*args, iters=8, mode="symmetric",
+                               src_normals=n_src * flip_s,
+                               tgt_normals=n_tgt * flip_t)
+    np.testing.assert_allclose(np.asarray(Ra), np.asarray(Rb),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                               rtol=0, atol=1e-5)
