@@ -77,7 +77,7 @@ def tuple_test(src: Array, tgt: Array, key: Array, tuples: int = 1024,
 
 def fgr_pose(src: Array, tgt: Array, scores: Array, key: Array,
              top_m: int = 512, tuples: int = 1024, tuple_scale: float = 0.95,
-             iters: int = 48, div_factor: float = 1.4,
+             iters: int = 48, div_factor: float | None = None,
              anneal_every: int = 4, delta: float = 0.09,
              solver: str = "svd") -> tuple[Array, Array, Array]:
     """Graduated-non-convexity pose from putative correspondences.
@@ -90,11 +90,16 @@ def fgr_pose(src: Array, tgt: Array, scores: Array, key: Array,
 
     `delta` is the distance at which a residual stops counting as inlier
     (the GM scale floor; default 0.09 m, the 3DMatch recall threshold).
-    mu anneals (cloud diameter)^2 -> delta^2 by `div_factor` every
-    `anneal_every` scan steps and then holds, so trailing iterations polish
-    at the final scale; `iters` is a fixed scan length — size it so
-    log(D^2/delta^2)/log(div_factor) * anneal_every fits (the default 48
-    covers D/delta ~ 56).
+    mu anneals (cloud diameter)^2 -> delta^2 and then holds, so trailing
+    iterations polish at the final scale. `div_factor=None` (default) sizes
+    the schedule FROM THE DATA: a per-step geometric divisor
+    (mu0/delta^2)^(1/(0.75*iters)) reaches the floor with the last quarter
+    of the fixed-length scan left to polish, for any cloud diameter. An
+    explicit `div_factor` reproduces the classic fixed schedule (divide
+    every `anneal_every` steps) — then size `iters` yourself: it reaches
+    the floor only when 2*log(D/delta)/log(div_factor)*anneal_every <=
+    iters (mu is a SQUARED scale: 48 steps at 1.4 every 4 cover
+    D/delta ~ 7.5, not 56).
     """
     n = scores.shape[-1]
     m = min(int(top_m), n)
@@ -115,15 +120,23 @@ def fgr_pose(src: Array, tgt: Array, scores: Array, key: Array,
     span = jnp.max(s, axis=0) - jnp.min(s, axis=0)
     mu0 = jnp.maximum(jnp.sum(span * span), delta * delta)
 
+    if div_factor is None:
+        steps = max(int(iters * 0.75), 1)
+        step_div = (mu0 / (delta * delta)) ** (1.0 / steps)   # traced, >= 1
+        every = 1
+    else:
+        step_div = div_factor
+        every = anneal_every
+
     def body(carry, i):
         R, t, mu, _ = carry
         r2 = jnp.sum((s @ R.T + t - y) ** 2, axis=-1)         # [M]
         l = (mu / (mu + r2)) ** 2
         w = mask * l
         R2, t2 = kabsch_weighted(s, y, w, solver=solver)
-        anneal = (i + 1) % anneal_every == 0
+        anneal = (i + 1) % every == 0
         mu2 = jnp.where(anneal,
-                        jnp.maximum(mu / div_factor, delta * delta), mu)
+                        jnp.maximum(mu / step_div, delta * delta), mu)
         return (R2, t2, mu2, w), None
 
     init = (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),

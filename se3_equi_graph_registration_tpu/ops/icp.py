@@ -75,36 +75,25 @@ def estimate_normals(points: Array, k: int = 16) -> Array:
     return out.reshape(p.shape)
 
 
-def point_covariances(points: Array, k: int = 16, eps: float = 1e-3
-                      ) -> Array:
+def point_covariances(points: Array, k: int = 16, eps: float = 1e-3,
+                      normals: Array | None = None) -> Array:
     """GICP-shaped surface covariances [..., M, 3, 3] of points [..., M, 3].
 
     Per point: PCA of the k-neighborhood, eigenvalues REPLACED by
     (1, 1, eps) in the local frame (Segal et al.'s plane-like shaping —
     the surface direction is trusted, the normal direction is not). With
     that spectrum the full basis is never needed: U diag(1, 1, eps) Uᵀ
-    = I − (1 − eps)·n nᵀ with n the NORMAL (smallest eigenvector, closed
-    form via `ops/eig3`). Scale-free by construction, so the Mahalanobis
+    = I − (1 − eps)·n nᵀ with n the NORMAL — so this is literally a
+    rank-one update of `estimate_normals`' output (the sign squares out).
+    Pass ``normals`` [..., M, 3] to reuse an existing field and skip the
+    k-NN/PCA pass entirely. Scale-free by construction, so the Mahalanobis
     weights in GICP depend only on surface ORIENTATION, not sampling
     density.
     """
-    from .eig3 import smallest_eigvec_sym3
-    from .knn import knn_graph
-    p = points.astype(jnp.float32)
-
-    def one(cloud):
-        n = cloud.shape[0]
-        nbr = knn_graph(cloud, min(k, n))               # [M, K]
-        nbh = cloud[nbr]
-        centered = nbh - jnp.mean(nbh, axis=1, keepdims=True)
-        cov = jnp.einsum("nka,nkb->nab", centered, centered)
-        nrm = smallest_eigvec_sym3(cov)                 # [M, 3]
-        eye = jnp.eye(3, dtype=jnp.float32)
-        return eye - (1.0 - eps) * nrm[:, :, None] * nrm[:, None, :]
-
-    flat = p.reshape((-1,) + p.shape[-2:])
-    out = jax.vmap(one)(flat)
-    return out.reshape(p.shape[:-1] + (3, 3))
+    nrm = (estimate_normals(points, k=k) if normals is None
+           else normals.astype(jnp.float32))
+    eye = jnp.eye(3, dtype=jnp.float32)
+    return eye - (1.0 - eps) * nrm[..., :, None] * nrm[..., None, :]
 
 
 def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
@@ -315,9 +304,14 @@ def icp_refine_multiscale(src: Array, tgt: Array, R: Array, t: Array,
     scale's `prior_weights`), so the whole pyramid jits as one program.
     ``prior_weights`` (over raw src rows) applies only to 0.0-scales — there
     is no point↔centroid correspondence to map it through at coarser ones.
-    Returns (R, t, weights-of-the-final-scale); if the final scale is
-    coarser than 0.0 the weights index its downsampled cloud. Remaining
-    kwargs (mode / trim / tau / kernel / solver ...) forward to every scale.
+    The same is true of the per-POINT field kwargs ``tgt_normals`` /
+    ``src_normals`` / ``src_cov`` / ``tgt_cov``: they are sized for the raw
+    clouds, so they too apply only to 0.0-scales; coarser scales recompute
+    normals/covariances on their own downsampled centroids (``normals_k``
+    forwards everywhere). Returns (R, t, weights-of-the-final-scale); if the
+    final scale is coarser than 0.0 the weights index its downsampled cloud.
+    Remaining kwargs (mode / trim / tau / kernel / solver ...) forward to
+    every scale.
 
     Pick coarse cells well below the cloud's structure scale: a cell size
     at which many points fall in every cell collapses the centroids toward
@@ -337,6 +331,10 @@ def icp_refine_multiscale(src: Array, tgt: Array, R: Array, t: Array,
                          f"{len(voxel_sizes)} scales")
     w = (jnp.ones(src.shape[:-1], jnp.float32) if prior_weights is None
          else prior_weights.astype(jnp.float32))
+    # per-point fields are sized for the RAW clouds — pairing them with
+    # downsampled centroids would silently use unrelated normals/covariances
+    raw_only = {f: kw.pop(f) for f in ("tgt_normals", "src_normals",
+                                       "src_cov", "tgt_cov") if f in kw}
     for v, it in zip(voxel_sizes, iters):
         v, num_out = v if isinstance(v, (tuple, list)) else (v, None)
         if it <= 0:
@@ -351,5 +349,6 @@ def icp_refine_multiscale(src: Array, tgt: Array, R: Array, t: Array,
             if num_out is not None:
                 raise ValueError("num_out requires a voxel size > 0")
             R, t, w = icp_refine(src, tgt, R, t, iters=it,
-                                 prior_weights=prior_weights, **kw)
+                                 prior_weights=prior_weights, **raw_only,
+                                 **kw)
     return R, t, w

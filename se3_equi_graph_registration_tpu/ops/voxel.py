@@ -59,8 +59,19 @@ def _downsample_one(points: Array, voxel: Array, num_out: int):
     # v <= num_out: identity gather + cyclic padding. v > num_out: an even
     # SPREAD over the lexicographic run (ids strictly increasing, all
     # distinct) — never a prefix truncation, which would keep only the
-    # low-coordinate corner of the cloud.
-    spread = (idx * v) // num_out
+    # low-coordinate corner of the cloud. floor(idx*v/num_out) must not be
+    # computed as idx*v in int32 (overflows once num_out*v > 2^31, e.g.
+    # KITTI-scale clouds): split off the quotient so both partial products
+    # stay below num_out*max(num_out, v/num_out) — exact while
+    # num_out <= 46340 (= floor(sqrt(2^31))); beyond that fall back to a
+    # float32 spread clamped into the valid run (off-by-one at worst).
+    if num_out <= 46340:
+        spread = idx * (v // num_out) + (idx * (v % num_out)) // num_out
+    else:
+        spread = jnp.floor(
+            idx.astype(jnp.float32) * (v.astype(jnp.float32) / num_out)
+        ).astype(jnp.int32)
+        spread = jnp.clip(spread, 0, jnp.maximum(v - 1, 0))
     take = jnp.where(v <= num_out, jnp.where(mask, idx, idx % v), spread)
     cent = jnp.take(cent, take, axis=0)
     return cent, mask, count

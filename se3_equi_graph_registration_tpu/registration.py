@@ -96,6 +96,20 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
     if refine_iters > 0:
         R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters)
     if icp_iters > 0:
+        # the raw-cloud fields are already computed above — reuse them in
+        # both branches (multiscale applies them only to its 0.0 scale and
+        # recomputes at coarser ones; coarse/fine neighborhoods both use
+        # k_normals, so the estimators agree between the two branches)
+        icp_kw = dict(iters=icp_iters, mode=icp_mode, tau=icp_tau,
+                      trim=icp_trim, normals_k=k_normals)
+        if icp_mode in ("plane", "symmetric"):
+            icp_kw["tgt_normals"] = n_tgt[None]
+        if icp_mode == "symmetric":
+            icp_kw["src_normals"] = n_src[None]
+        if icp_mode == "gicp":
+            from .ops.icp import point_covariances
+            icp_kw["src_cov"] = point_covariances(src, normals=n_src)[None]
+            icp_kw["tgt_cov"] = point_covariances(tgt, normals=n_tgt)[None]
         if icp_voxels:
             if icp_voxels[-1]:
                 raise ValueError("icp_voxels must end at 0.0 (raw clouds): "
@@ -104,20 +118,10 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
             from .ops.icp import icp_refine_multiscale
             R, t, w_icp = icp_refine_multiscale(
                 src[None], tgt[None], R[None], t[None],
-                voxel_sizes=icp_voxels, iters=icp_iters, mode=icp_mode,
-                tau=icp_tau, trim=icp_trim, normals_k=k_normals)
+                voxel_sizes=icp_voxels, **icp_kw)
         else:
             R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
-                                     iters=icp_iters, mode=icp_mode,
-                                     tau=icp_tau, trim=icp_trim,
-                                     tgt_normals=(
-                                         n_tgt[None]
-                                         if icp_mode in ("plane", "symmetric")
-                                         else None),
-                                     src_normals=(
-                                         n_src[None]
-                                         if icp_mode == "symmetric"
-                                         else None))
+                                     **icp_kw)
         R, t, w = R[0], t[0], w_icp[0]   # w: the FINAL (NN-associated) set
         posed = src @ R.T + t
         from .ops.icp import nearest_neighbor

@@ -84,26 +84,36 @@ def preset(name: str) -> ExperimentConfig:
     raise ValueError(f"unknown preset {name!r}")
 
 
+# numeric fields that ALSO accept string sentinel modes (the consumer
+# validates the string and raises its own, clearer error): only these may
+# keep a non-convertible string override instead of failing at the CLI
+_STRING_SENTINEL_FIELDS = frozenset({"icp_trim"})
+
+
 def _replace_nested(cfg: Any, dotted: str, value: Any):
     head, _, rest = dotted.partition(".")
     if rest:
         return dataclasses.replace(
             cfg, **{head: _replace_nested(getattr(cfg, head), rest, value)})
     current = getattr(cfg, head)
-    if isinstance(current, tuple) and isinstance(value, str):
-        # comma-separated numeric tuples (e.g. engine.icp_voxels=0.4,0.15,0)
-        value = tuple(float(v) for v in value.split(",") if v != "")
-    elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
-        value = tuple(value)
+    if isinstance(current, tuple):
+        if isinstance(value, str):
+            # comma-separated numeric tuples (engine.icp_voxels=0.4,0.15,0)
+            value = tuple(float(v) for v in value.split(",") if v != "")
+        elif isinstance(value, (list, tuple)):
+            value = tuple(value)
+        elif isinstance(value, (int, float)):
+            value = (value,)            # a bare scalar is a 1-entry tuple
     elif current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
         if not isinstance(value, type(current)):
             try:
                 value = type(current)(value)
-            except ValueError:
-                # fields with sentinel string modes (e.g. engine.icp_trim
-                # takes a fraction OR 'auto') keep the string; the consumer
-                # validates and raises its own, clearer error
-                pass
+            except (TypeError, ValueError):
+                if not (head in _STRING_SENTINEL_FIELDS
+                        and isinstance(value, str)):
+                    raise ValueError(
+                        f"config override {head}={value!r} is not a valid "
+                        f"{type(current).__name__}") from None
     return dataclasses.replace(cfg, **{head: value})
 
 

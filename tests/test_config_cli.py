@@ -173,3 +173,26 @@ def test_repeated_set_flags_accumulate():
     assert cfg.run.epochs == 1
     assert cfg.run.compile_cache == "/tmp/cc"
     assert cfg.engine.lr == 0.002
+
+
+def test_invalid_scalar_override_raises_at_cli():
+    """Regression: a non-convertible scalar override (typo'd number) was
+    silently stored as a string and exploded much later inside a jitted
+    step; it must fail AT THE CLI with the field named."""
+    import pytest
+    from se3_equi_graph_registration_tpu.train.config import parse_cli
+
+    with pytest.raises(ValueError, match="icp_iters"):
+        parse_cli(["--preset", "synthetic", "--set", "engine.icp_iters=abc"])
+    with pytest.raises(ValueError, match="lr"):
+        parse_cli(["--preset", "synthetic", "--set", "engine.lr=3e-4x"])
+
+    # string-sentinel fields keep their mode strings...
+    cfg, _ = parse_cli(["--preset", "synthetic",
+                        "--set", "engine.icp_trim=auto"])
+    assert cfg.engine.icp_trim == "auto"
+    # ...and a bare scalar for a tuple field becomes a 1-entry tuple
+    # (tuple(0.4) used to raise a raw TypeError)
+    cfg, _ = parse_cli(["--preset", "synthetic",
+                        "--set", "engine.icp_voxels=0.4"])
+    assert cfg.engine.icp_voxels == (0.4,)

@@ -120,3 +120,29 @@ def test_register_fpfh_coarse_fgr(bumpy_surface):
     assert _rot_deg(Rh, R) < 0.5
     assert np.linalg.norm(th - t) < 5e-3
     assert np.all(np.isfinite(info["pose_covariance"]))
+
+
+def test_fgr_auto_schedule_covers_large_diameter(rng):
+    """Regression: the fixed classic schedule (1.4 every 4 steps, 48 iters)
+    anneals mu by only ~57x — on a large-diameter cloud mu never approaches
+    the delta^2 floor, so near-miss outliers keep O(1) Geman-McClure weight
+    and the pose is dragged off. The default data-sized geometric schedule
+    must reach the floor for ANY diameter within the same fixed scan."""
+    src, tgt, R, t = _corrupted_pair(np.random.default_rng(3), noise=0.0)
+    src, tgt, t = src * 30.0, tgt * 30.0, t * 30.0   # D/delta ~ 2300
+    scores = np.ones(len(src), np.float32)
+
+    Rh, th, _ = fgr_pose(jnp.asarray(src), jnp.asarray(tgt),
+                         jnp.asarray(scores), jax.random.PRNGKey(0),
+                         top_m=400, tuples=2048, delta=0.09)
+    assert _rot_deg(np.asarray(Rh), R) < 1.0
+    np.testing.assert_allclose(np.asarray(th), t, atol=0.5)
+
+    # the classic explicit schedule stays available (and on a unit-scale
+    # problem, where 57x covers D/delta, it still converges)
+    src2, tgt2, R2, t2 = _corrupted_pair(np.random.default_rng(4))
+    Rc, tc, _ = fgr_pose(jnp.asarray(src2), jnp.asarray(tgt2),
+                         jnp.asarray(np.ones(len(src2), np.float32)),
+                         jax.random.PRNGKey(0), top_m=400, tuples=2048,
+                         div_factor=1.4, anneal_every=4, delta=0.09)
+    assert _rot_deg(np.asarray(Rc), R2) < 1.0

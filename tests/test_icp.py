@@ -364,3 +364,15 @@ def test_icp_symmetric_invariant_to_normal_signs(rng):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
                                rtol=0, atol=1e-5)
+
+
+def test_point_covariances_reuse_normals(rng):
+    """point_covariances is a rank-one shaping of the PCA normal field:
+    passing a precomputed `normals` must reproduce the from-scratch result
+    (same k), letting callers skip the duplicate k-NN/PCA pass."""
+    src = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    src[:, 2] = 0.1 * src[:, 0] * src[:, 1]
+    n = icp.estimate_normals(jnp.asarray(src), k=12)
+    C_direct = np.asarray(icp.point_covariances(jnp.asarray(src), k=12))
+    C_reused = np.asarray(icp.point_covariances(jnp.asarray(src), normals=n))
+    np.testing.assert_allclose(C_direct, C_reused, atol=1e-6)

@@ -202,3 +202,60 @@ def test_register_fpfh_accepts_voxel_pyramid(rng):
         registration.register_fpfh(src, tgt, n_points=256, top_m=128,
                                    hypotheses=64, icp_iters=4,
                                    icp_voxels=(0.5, 0.2))
+
+
+def test_voxel_spread_no_int32_overflow():
+    """Regression: the even-spread gather for v > num_out computed
+    floor(idx*v/num_out) as an int32 product, which wraps negative once
+    num_out*v > 2^31 (KITTI-scale raw clouds, ~120k points) — jnp.take then
+    clamps the wrapped indices and collapses much of the output onto
+    low-index centroids. The split-quotient form must match the exact
+    int64 oracle."""
+    # one point per voxel on a 50x50x48 grid -> v = N = 120000 occupied
+    g = np.stack(np.meshgrid(np.arange(50), np.arange(50), np.arange(48),
+                             indexing="ij"), -1).reshape(-1, 3)
+    v_size = 0.1
+    pts = ((g + 0.5) * v_size).astype(np.float32)
+    num_out = 30_000                         # idx*v up to 3.6e9 > 2^31
+    cent, mask, cnt = voxel_downsample(jnp.asarray(pts), v_size,
+                                       num_out=num_out)
+    cent, mask, cnt = np.asarray(cent), np.asarray(mask), int(cnt)
+    assert cnt == num_out and mask.all()
+    # oracle: lexicographic cell order, exact int64 spread, solo-voxel
+    # centroids are the points themselves
+    order = np.lexsort((g[:, 2], g[:, 1], g[:, 0]))
+    spread = (np.arange(num_out, dtype=np.int64) * len(g)) // num_out
+    np.testing.assert_allclose(cent, pts[order][spread], atol=1e-5)
+
+
+def test_multiscale_raw_fields_apply_only_to_raw_scale(rng):
+    """Regression: tgt_normals (sized for the RAW cloud) forwarded to a
+    downsampled scale silently pairs unrelated normals with centroids.
+    Multiscale with raw normals must equal the manual composition: coarse
+    scale with normals recomputed on its centroids, then the raw scale with
+    the supplied field."""
+    src = rng.uniform(-1, 1, (256, 3)).astype(np.float32)
+    src[:, 2] = 0.05 * np.sin(3 * src[:, 0]) * np.cos(2 * src[:, 1])
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.1).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    n_tgt = icp.estimate_normals(jnp.asarray(tgt)[None], k=12)
+
+    eye = jnp.eye(3, dtype=jnp.float32)[None]
+    z = jnp.zeros((1, 3), jnp.float32)
+    Rm, tm, _ = icp.icp_refine_multiscale(
+        jnp.asarray(src)[None], jnp.asarray(tgt)[None], eye, z,
+        voxel_sizes=(0.3, 0.0), iters=(3, 3), mode="plane",
+        normals_k=12, tgt_normals=n_tgt)
+
+    from se3_equi_graph_registration_tpu.ops.voxel import voxel_downsample
+    s, smask, _ = voxel_downsample(jnp.asarray(src)[None], 0.3)
+    g, _, _ = voxel_downsample(jnp.asarray(tgt)[None], 0.3)
+    Rc, tc, _ = icp.icp_refine(s, g, eye, z, iters=3, mode="plane",
+                               normals_k=12,
+                               prior_weights=smask.astype(jnp.float32))
+    Rf, tf, _ = icp.icp_refine(jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                               Rc, tc, iters=3, mode="plane", normals_k=12,
+                               tgt_normals=n_tgt)
+    np.testing.assert_allclose(np.asarray(Rm), np.asarray(Rf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tm), np.asarray(tf), atol=1e-6)
