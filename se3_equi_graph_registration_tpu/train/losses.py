@@ -11,9 +11,12 @@ Ports the reference's loss semantics (verified against
     masked means instead of boolean indexing
   - `pose_loss`            = geodesic rotation angle + translation-direction
     angle (:948-962)
-The 3DMatch total train loss combines corr + rot + trans (:1120); KITTI uses
-corr + equi (/root/reference/src/kitti_train_egnn_with_batch.py:1089). Weights
-are explicit here so both are configs of the same engine.
+The 3DMatch total train loss is corr + sim + rot + trans: the driver writes
+corr + rot + trans (:1120), but the head's `corr_loss` return is really
+corr_loss + sim_loss fused (:796) — tests/test_train_parity.py pins the
+composed gradient against the imported driver. KITTI uses corr + equi
+(/root/reference/src/kitti_train_egnn_with_batch.py:1089). Weights are
+explicit here so both are configs of the same engine.
 """
 from __future__ import annotations
 
