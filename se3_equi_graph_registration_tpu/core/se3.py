@@ -66,7 +66,8 @@ def rotation_matrix(key: Array, num_axis: int, augment_rotation: float,
     - num_axis == 0: identity
     - num_axis == 1: rotation about ONE randomly chosen axis (x, y or z) by
       angle ~ U(0, 2π·augment_rotation)
-    - num_axis == 3: composition of random rotations about z, y, x.
+    - num_axis == 3: Rx @ Ry @ Rz, the reference's composition order
+      (/root/reference/utils/SE3.py:27-30).
     """
     if num_axis == 0:
         return jnp.eye(3, dtype=dtype)
@@ -90,15 +91,16 @@ def rotation_matrix(key: Array, num_axis: int, augment_rotation: float,
             [lambda a=a: _axis_rot(angles[a], a) for a in range(3)],
         )
     if num_axis == 3:
-        return _axis_rot(angles[2], 2) @ _axis_rot(angles[1], 1) @ _axis_rot(angles[0], 0)
+        return _axis_rot(angles[0], 0) @ _axis_rot(angles[1], 1) @ _axis_rot(angles[2], 2)
     raise ValueError(f"num_axis must be 0, 1 or 3, got {num_axis}")
 
 
 def translation_matrix(key: Array, augment_translation: float,
                        dtype=jnp.float32) -> Array:
-    """Random translation ~ N(0,1) * augment_translation, shape [3]
+    """Random translation ~ U(0, 1) * augment_translation, shape [3] — the
+    reference draws rand(3)·t, not a gaussian
     (/root/reference/datasets/ThreeDMatch.py:45-52)."""
-    return jax.random.normal(key, (3,), dtype=dtype) * augment_translation
+    return jax.random.uniform(key, (3,), dtype=dtype) * augment_translation
 
 
 def random_pose(key: Array, num_axis: int = 3, augment_rotation: float = 1.0,

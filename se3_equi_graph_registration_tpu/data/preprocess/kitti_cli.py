@@ -46,6 +46,9 @@ def make_sequence_pairs(velodyne_dir: str, poses_file: str, out_dir: str,
         tgt_raw = load_velodyne_bin(os.path.join(velodyne_dir, scans[j]))
         src_xyz, src_feat = pairs.extract_fpfh(src_raw, voxel_size=voxel_size)
         tgt_xyz, tgt_feat = pairs.extract_fpfh(tgt_raw, voxel_size=voxel_size)
+        # the reference L2-normalizes FPFH after extraction (:196-197)
+        src_feat = pairs.normalize_descriptors(src_feat)
+        tgt_feat = pairs.normalize_descriptors(tgt_feat)
         gt_pose = (np.linalg.inv(poses[j]) @ poses[i]).astype(np.float32)
         pair = pairs.build_pair(src_xyz, tgt_xyz, src_feat, tgt_feat, gt_pose,
                                 INLIER_THRESHOLD)

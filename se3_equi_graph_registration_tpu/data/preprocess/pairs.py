@@ -45,34 +45,55 @@ def inlier_labels(src_pts: np.ndarray, tgt_pts: np.ndarray, corr: np.ndarray,
     return (d < threshold).astype(np.float32)
 
 
+def normalize_descriptors(feat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with the reference's +1e-6 denominator —
+    applied to FPFH descriptors in every reference branch (:113-118, :300-303;
+    the train branch's `np.nan_to_num(features)` discards its return value,
+    so it is a no-op there and is NOT reproduced here)."""
+    return feat / (np.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
+
+
 def augment_target(tgt_pts: np.ndarray, rng: np.random.Generator,
                    augment_axis: int = 3, augment_rotation: float = 1.0,
                    augment_translation: float = 0.5,
                    jitter: float = 0.005) -> tuple[np.ndarray, np.ndarray]:
     """Random SE(3) augmentation of the target cloud; returns (augmented
     points, gt_pose mapping ORIGINAL src frame → augmented tgt frame). The
-    reference composes aug ∘ I since src/tgt start aligned (:118-122)."""
-    pts = tgt_pts + rng.random(tgt_pts.shape).astype(tgt_pts.dtype) * jitter
+    reference composes aug ∘ I since src/tgt start aligned (:118-122).
+    Draw order matches the reference (jitter, rotation angles, translation)
+    so a legacy-seeded rng replays its stream bit-exactly."""
+    pts = tgt_pts + rng.random(tgt_pts.shape) * jitter if jitter \
+        else tgt_pts
     aug = se3_np.random_pose(rng, augment_axis, augment_rotation,
                              augment_translation)
-    return se3_np.transform(pts, aug).astype(np.float32), \
+    return se3_np.transform(pts, aug), \
         se3_np.concatenate(aug, np.eye(4, dtype=np.float32))
 
 
 def build_pair(src_pts, tgt_pts, src_feat, tgt_feat, gt_pose,
-               inlier_threshold: float) -> dict:
-    """Assemble the on-disk pair dict (test/KITTI schema, :363-365)."""
+               inlier_threshold: float, file_0: str | None = None,
+               file_1: str | None = None) -> dict:
+    """Assemble the on-disk pair dict in the reference schema (:206-214,
+    :355-365): float32 points, corr int64 (arange/argmin dtype), labels
+    int32, gt_pose at its computed (float64) precision, optional file ids —
+    so archives written here are byte-compatible drop-ins for reference
+    consumers (tests/test_preprocess_parity.py diffs the fields)."""
     corr = feature_nn_correspondences(src_feat, tgt_feat)
     labels = inlier_labels(src_pts, tgt_pts, corr, gt_pose, inlier_threshold)
-    return {
+    pair = {
         "xyz_0": np.asarray(src_pts, np.float32),
         "xyz_1": np.asarray(tgt_pts, np.float32),
-        "feat_0": np.asarray(src_feat, np.float32),
-        "feat_1": np.asarray(tgt_feat, np.float32),
-        "corr": corr.astype(np.float32),
-        "labels": labels,
-        "gt_pose": np.asarray(gt_pose, np.float32),
+        "feat_0": np.asarray(src_feat),
+        "feat_1": np.asarray(tgt_feat),
+        "corr": corr,
+        "labels": labels.astype(np.int32),
+        "gt_pose": np.asarray(gt_pose),
     }
+    if file_0 is not None:
+        pair["file_0"] = file_0
+    if file_1 is not None:
+        pair["file_1"] = file_1
+    return pair
 
 
 def save_pair(path: str, pair: dict) -> None:

@@ -33,19 +33,33 @@ def _to_numpy(v):
 
 
 def load_train_pkl(path: str) -> dict:
-    """Load a torch-format train pair pkl → numpy dict with unified keys."""
+    """Load a train pair pkl → numpy dict with unified keys.
+
+    The reference ecosystem has TWO train schemas: the TrainVal reader
+    expects torch-tensor dicts keyed src_keypts/gt_labels
+    (/root/reference/datasets/ThreeDMatch.py:234), while its own
+    preprocessor writes numpy dicts keyed xyz_0/labels
+    (/root/reference/data_preprocess/3DMatch_Feature.py:206-214) — the
+    shipped reader only loads an earlier data generation. We accept both,
+    so archives produced by data/preprocess/threedmatch_cli.py train
+    directly."""
     with open(path, "rb") as f:
         try:
             raw = pickle.load(f)
         except Exception:
             import torch
             raw = torch.load(path, map_location="cpu", weights_only=False)
-    out = {}
-    for src_key, dst_key in [
+    keymap = [
         ("src_keypts", "src_pts"), ("tgt_keypts", "tgt_pts"),
         ("src_features", "src_feat"), ("tgt_features", "tgt_feat"),
         ("corr", "corr"), ("gt_labels", "labels"), ("gt_pose", "gt_pose"),
-    ]:
+    ] if "src_keypts" in raw else [
+        ("xyz_0", "src_pts"), ("xyz_1", "tgt_pts"),
+        ("feat_0", "src_feat"), ("feat_1", "tgt_feat"),
+        ("corr", "corr"), ("labels", "labels"), ("gt_pose", "gt_pose"),
+    ]
+    out = {}
+    for src_key, dst_key in keymap:
         v = _to_numpy(raw[src_key])
         if v.ndim >= 1 and v.shape[0] == 1:
             v = v[0]

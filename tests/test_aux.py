@@ -125,7 +125,7 @@ def test_threedmatch_preprocess_cli(tmp_path, rng):
     with open(pkl, "rb") as f:
         d = pickle.load(f)
     assert set(d) == {"xyz_0", "xyz_1", "feat_0", "feat_1", "corr", "labels",
-                      "gt_pose"}
+                      "gt_pose", "file_0", "file_1"}
     assert d["corr"].shape == (150, 2)
 
 
