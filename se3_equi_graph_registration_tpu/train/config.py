@@ -67,12 +67,18 @@ def preset(name: str) -> ExperimentConfig:
             data=DataConfig(dataset="3dmatch", descriptor="fcgf"),
             run=RunConfig(epochs=500))
     if name == "kitti":
-        # FPFH 33-d, head top_k=2048, loss = corr + equi
-        # (src/kitti_train_egnn_with_batch.py:1515-1518, :663, :1089)
+        # FPFH 33-d end to end (in/hidden/out all 33, :1515-1518), head
+        # top_k=2048 (:661). The KITTI EGNN never forwards num_heads, so its
+        # E_GCL runs the 1-head default (:311 vs :186). Its head returns the
+        # BCE corr loss WITHOUT the 3DMatch sim term (:752-766), and the
+        # train loss is corr + equi only (:1089) — sim/rot/trans all zero.
+        # Pinned end-to-end vs the imported driver in
+        # tests/test_kitti_driver_parity.py.
         return ExperimentConfig(
             engine=EngineConfig(
-                in_node_nf=33, top_k=2048, lr_step_unit="epoch",
-                loss_weights=losses_lib.LossWeights(corr=1.0, sim=1.0,
+                in_node_nf=33, hidden_nf=33, num_heads=1, top_k=2048,
+                lr_step_unit="epoch",
+                loss_weights=losses_lib.LossWeights(corr=1.0, sim=0.0,
                                                     rot=0.0, trans=0.0, equi=1.0)),
             data=DataConfig(dataset="kitti", descriptor="fpfh"),
             run=RunConfig(epochs=200))

@@ -67,6 +67,7 @@ _SLOW_MODULES = {
     "test_pallas_kernels.py",    # interpret-mode forward kernels
     "test_parallel.py",          # sharded-vs-unsharded train-step twins
     "test_pipeline_parity.py",   # imported reference evaluate_model E2E
+    "test_kitti_driver_parity.py",  # imported KITTI driver at N=2048
     "test_train_parity.py",      # imported reference backward + Adam step
 }
 

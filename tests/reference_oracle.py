@@ -89,6 +89,12 @@ def eval_module():
     return _load("eval_egnn_metrics.py", "ref_eval_metrics")
 
 
+def kitti_train_module():
+    """The reference KITTI train script: same E_GCL, 1-head EGNN at 33-d,
+    head with top_k=2048 and BCE-only corr loss (no sim term)."""
+    return _load("kitti_train_egnn_with_batch.py", "ref_train_kitti")
+
+
 def build_egnn(mod, state_dict: dict, in_nf=32, hidden_nf=32, out_nf=32,
                in_edge_nf=1, n_layers=3, num_heads=4):
     """Reference EGNN wired for the shipped checkpoints.
