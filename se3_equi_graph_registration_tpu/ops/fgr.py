@@ -78,7 +78,7 @@ def tuple_test(src: Array, tgt: Array, key: Array, tuples: int = 1024,
 def fgr_pose(src: Array, tgt: Array, scores: Array, key: Array,
              top_m: int = 512, tuples: int = 1024, tuple_scale: float = 0.95,
              iters: int = 48, div_factor: float | None = None,
-             anneal_every: int = 4, delta: float = 0.09,
+             anneal_every: int | None = None, delta: float = 0.09,
              solver: str = "svd") -> tuple[Array, Array, Array]:
     """Graduated-non-convexity pose from putative correspondences.
 
@@ -121,12 +121,19 @@ def fgr_pose(src: Array, tgt: Array, scores: Array, key: Array,
     mu0 = jnp.maximum(jnp.sum(span * span), delta * delta)
 
     if div_factor is None:
+        if anneal_every is not None:
+            # the data-sized auto schedule anneals EVERY step; a lone
+            # anneal_every would be silently ignored — fail loudly instead
+            raise ValueError(
+                "anneal_every only applies to the classic fixed schedule: "
+                "set div_factor explicitly alongside it (the default "
+                "div_factor=None auto-sizes a per-step divisor)")
         steps = max(int(iters * 0.75), 1)
         step_div = (mu0 / (delta * delta)) ** (1.0 / steps)   # traced, >= 1
         every = 1
     else:
         step_div = div_factor
-        every = anneal_every
+        every = 4 if anneal_every is None else anneal_every  # classic default
 
     def body(carry, i):
         R, t, mu, _ = carry

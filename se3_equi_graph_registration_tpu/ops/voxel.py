@@ -57,14 +57,18 @@ def _downsample_one(points: Array, voxel: Array, num_out: int):
     count = jnp.minimum(v, num_out)
     mask = idx < count
     # v <= num_out: identity gather + cyclic padding. v > num_out: an even
-    # SPREAD over the lexicographic run (ids strictly increasing, all
-    # distinct) — never a prefix truncation, which would keep only the
-    # low-coordinate corner of the cloud. floor(idx*v/num_out) must not be
-    # computed as idx*v in int32 (overflows once num_out*v > 2^31, e.g.
-    # KITTI-scale clouds): split off the quotient so both partial products
-    # stay below num_out*max(num_out, v/num_out) — exact while
-    # num_out <= 46340 (= floor(sqrt(2^31))); beyond that fall back to a
-    # float32 spread clamped into the valid run (off-by-one at worst).
+    # SPREAD over the lexicographic run — never a prefix truncation, which
+    # would keep only the low-coordinate corner of the cloud.
+    # floor(idx*v/num_out) must not be computed as idx*v in int32 (overflows
+    # once num_out*v > 2^31, e.g. KITTI-scale clouds): split off the
+    # quotient so both partial products stay below
+    # num_out*max(num_out, v/num_out) — exact (ids strictly increasing, all
+    # distinct) while num_out <= 46340 (= floor(sqrt(2^31))). Beyond that,
+    # fall back to a float32 spread clamped into the valid run: float32
+    # can't represent idx*step exactly at that scale, so neighboring ids may
+    # round together (duplicates) or apart — the spread stays monotone
+    # non-decreasing and in-range, but NOT all-distinct
+    # (tests/test_voxel.py::test_spread_float32_fallback).
     if num_out <= 46340:
         spread = idx * (v // num_out) + (idx * (v % num_out)) // num_out
     else:

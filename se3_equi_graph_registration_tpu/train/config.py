@@ -105,13 +105,25 @@ def _replace_nested(cfg: Any, dotted: str, value: Any):
     if isinstance(current, tuple):
         if isinstance(value, str):
             # comma-separated numeric tuples (engine.icp_voxels=0.4,0.15,0)
-            value = tuple(float(v) for v in value.split(",") if v != "")
+            try:
+                value = tuple(float(v) for v in value.split(",") if v != "")
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"config override {head}={value!r} is not a valid "
+                    f"tuple of floats") from None
         elif isinstance(value, (list, tuple)):
             value = tuple(value)
         elif isinstance(value, (int, float)):
             value = (value,)            # a bare scalar is a 1-entry tuple
     elif current is not None and not isinstance(current, (dict, losses_lib.LossWeights)):
-        if not isinstance(value, type(current)):
+        if (head in _STRING_SENTINEL_FIELDS and isinstance(current, str)
+                and isinstance(value, (int, float))
+                and not isinstance(value, bool)):
+            # sentinel field currently holding a string mode (e.g.
+            # icp_trim='auto' from a JSON config): a numeric override takes
+            # effect as-is instead of being str()-coerced into '0.4'
+            pass
+        elif not isinstance(value, type(current)):
             try:
                 value = type(current)(value)
             except (TypeError, ValueError):

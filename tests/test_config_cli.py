@@ -196,3 +196,29 @@ def test_invalid_scalar_override_raises_at_cli():
     cfg, _ = parse_cli(["--preset", "synthetic",
                         "--set", "engine.icp_voxels=0.4"])
     assert cfg.engine.icp_voxels == (0.4,)
+
+
+def test_invalid_tuple_override_raises_named_error():
+    """ADVICE r3: a tuple-field override with a non-numeric entry must raise
+    the same NAMED ValueError contract as scalar overrides (was: a bare
+    float() ValueError with no field name)."""
+    import pytest
+    from se3_equi_graph_registration_tpu.train.config import parse_cli
+
+    with pytest.raises(ValueError, match="icp_voxels"):
+        parse_cli(["--preset", "synthetic",
+                   "--set", "engine.icp_voxels=0.4,abc"])
+
+
+def test_numeric_override_on_string_sentinel_field():
+    """ADVICE r3: when a sentinel field currently holds a string mode
+    (icp_trim='auto'), a later NUMERIC override must take effect as a float
+    (was: str()-coerced to '0.4' and rejected much later inside icp)."""
+    from se3_equi_graph_registration_tpu.train import config as cfg_lib
+
+    cfg = cfg_lib.preset("synthetic")
+    cfg = cfg_lib.apply_overrides(cfg, {"engine.icp_trim": "auto"})
+    assert cfg.engine.icp_trim == "auto"
+    cfg = cfg_lib.apply_overrides(cfg, {"engine.icp_trim": 0.4})
+    assert cfg.engine.icp_trim == 0.4 and isinstance(cfg.engine.icp_trim,
+                                                     float)

@@ -146,3 +146,13 @@ def test_fgr_auto_schedule_covers_large_diameter(rng):
                          jax.random.PRNGKey(0), top_m=400, tuples=2048,
                          div_factor=1.4, anneal_every=4, delta=0.09)
     assert _rot_deg(np.asarray(Rc), R2) < 1.0
+
+
+def test_anneal_every_without_div_factor_raises(rng):
+    """ADVICE r3: under the data-sized auto schedule (div_factor=None) an
+    explicit anneal_every was silently ignored; it must fail loudly."""
+    src = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    scores = jnp.ones(64)
+    with pytest.raises(ValueError, match="anneal_every"):
+        fgr_pose(src, src, scores, jax.random.PRNGKey(0), top_m=32,
+                 anneal_every=4)
