@@ -52,7 +52,8 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("k", "orient"))
 def estimate_normals(x: Array, k: int = 30,
                      viewpoint: Array | None = None,
-                     orient: str = "viewpoint") -> Array:
+                     orient: str = "viewpoint",
+                     nbr: Array | None = None) -> Array:
     """Unit normals [N, 3] from k-NN PCA.
 
     orient='viewpoint' (default) points them toward `viewpoint` (default:
@@ -67,9 +68,15 @@ def estimate_normals(x: Array, k: int = 30,
     checkpoint-free matcher (registration.py) uses so descriptors agree
     between frames with no pose or sensor knowledge. Signs at locally flat /
     symmetric points are noise-determined under either policy.
+
+    `nbr` [N, >=1] supplies a precomputed neighbor table (ignoring `k`) —
+    registration.py computes ONE k-NN per cloud and slices it for both this
+    estimator and `fpfh` (the k-selection is the pipeline's dominant cost;
+    exact top_k lowers to a full per-row sort on TPU).
     """
     n = x.shape[0]
-    nbr = knn_graph(x, min(k, n))                       # [N, K] incl. self
+    if nbr is None:
+        nbr = knn_graph(x, min(k, n))                   # [N, K] incl. self
     nbh = x[nbr]                                        # [N, K, 3]
     mean = jnp.mean(nbh, axis=1, keepdims=True)
     centered = nbh - mean
@@ -100,17 +107,21 @@ def _histogram_onehot(values: Array, lo: float, hi: float) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def fpfh(x: Array, normals: Array, k: int = 30) -> Array:
+def fpfh(x: Array, normals: Array, k: int = 30,
+         nbr: Array | None = None) -> Array:
     """FPFH-33 descriptors [N, 33] over k-NN neighborhoods.
 
     Per neighbor pair (i, j): pick the source s ∈ {i, j} whose normal makes
     the smaller angle with the connecting line d (Rusu's convention), build
     the Darboux frame u = n_s, v = d̂ × u, w = u × v and the features
     alpha = v·n_t, phi = u·d̂, theta = atan2(w·n_t, u·n_t).
+
+    `nbr` [N, K] supplies a precomputed neighbor table (ignoring `k`) so one
+    k-selection can feed both `estimate_normals` and this extractor.
     """
     n = x.shape[0]
-    kk = min(k, n)
-    nbr = knn_graph(x, kk)                              # [N, K] (self first)
+    if nbr is None:
+        nbr = knn_graph(x, min(k, n))                   # [N, K] (self first)
     p_i = x[:, None, :]                                 # [N, 1, 3]
     p_j = x[nbr]                                        # [N, K, 3]
     n_i = jnp.broadcast_to(normals[:, None, :], p_j.shape)

@@ -61,14 +61,27 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                    k_fpfh: int, top_m: int, sigma: float,
                    spectral_iters: int, refine_iters: int, icp_iters: int,
                    icp_mode: str, icp_tau: float, icp_trim: float,
-                   icp_voxels: tuple, coarse: str, hypotheses: int):
+                   icp_voxels: tuple, coarse: str, hypotheses: int,
+                   knn_method: str = "approx", solver: str = "quaternion"):
+    # ONE k-selection per cloud feeds both the normal estimator (first
+    # k_normals columns — top_k/approx_min_k return ascending distances) and
+    # the descriptor: the k-NN is the pipeline's dominant cost (measured
+    # attribution in BASELINE.md — exact top_k lowers to a full per-row
+    # sort). knn_method='approx' uses the TPU-native approx_min_k bucketed
+    # selection instead of the sort.
+    from .ops.knn import knn_graph
+    kk = min(max(k_normals, k_fpfh), src.shape[0])
+    nbr_src = knn_graph(src, kk, method=knn_method)
+    nbr_tgt = knn_graph(tgt, kk, method=knn_method)
     # 'local' orientation is pose-EQUIVARIANT (away from the neighborhood
     # centroid) — viewpoint orientation would give the two frames different
     # normal signs and scramble the sign-sensitive Darboux angles
-    n_src = fpfh_lib.estimate_normals(src, k=k_normals, orient="local")
-    n_tgt = fpfh_lib.estimate_normals(tgt, k=k_normals, orient="local")
-    f_src = fpfh_lib.fpfh(src, n_src, k=k_fpfh)
-    f_tgt = fpfh_lib.fpfh(tgt, n_tgt, k=k_fpfh)
+    n_src = fpfh_lib.estimate_normals(src, orient="local",
+                                      nbr=nbr_src[:, :k_normals])
+    n_tgt = fpfh_lib.estimate_normals(tgt, orient="local",
+                                      nbr=nbr_tgt[:, :k_normals])
+    f_src = fpfh_lib.fpfh(src, n_src, nbr=nbr_src[:, :k_fpfh])
+    f_tgt = fpfh_lib.fpfh(tgt, n_tgt, nbr=nbr_tgt[:, :k_fpfh])
 
     j_of_i, mutual, dist = match_features(f_src, f_tgt)
     tgt_corr = tgt[j_of_i]
@@ -80,28 +93,30 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
         # multi-hypothesis vote: survives candidate orderings that mislead
         # the single-shot spectral eigenvector at low overlap
         R, t, w = ransac_pose(src, tgt_corr, scores, key, top_m=top_m,
-                              hypotheses=hypotheses, inlier_tau=sigma)
+                              hypotheses=hypotheses, inlier_tau=sigma,
+                              solver=solver)
     elif coarse == "fgr":
         # graduated non-convexity on Geman-McClure (ops/fgr) — the
         # open3d-FGR capability; `hypotheses` sizes the tuple-test draw
         R, t, w = fgr_pose(src, tgt_corr, scores, key, top_m=top_m,
-                           tuples=hypotheses, delta=sigma)
+                           tuples=hypotheses, delta=sigma, solver=solver)
     elif coarse == "spectral":
         w = spectral_match_weights(src, tgt_corr, scores, top_m=top_m,
                                    sigma=sigma, iters=spectral_iters)
-        R, t = kabsch_weighted(src, tgt_corr, w)
+        R, t = kabsch_weighted(src, tgt_corr, w, solver=solver)
     else:
         raise ValueError(f"unknown coarse stage {coarse!r}; "
                          "expected 'spectral', 'ransac', or 'fgr'")
     if refine_iters > 0:
-        R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters)
+        R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters,
+                              solver=solver)
     if icp_iters > 0:
         # the raw-cloud fields are already computed above — reuse them in
         # both branches (multiscale applies them only to its 0.0 scale and
         # recomputes at coarser ones; coarse/fine neighborhoods both use
         # k_normals, so the estimators agree between the two branches)
         icp_kw = dict(iters=icp_iters, mode=icp_mode, tau=icp_tau,
-                      trim=icp_trim, normals_k=k_normals)
+                      trim=icp_trim, normals_k=k_normals, solver=solver)
         if icp_mode in ("plane", "symmetric"):
             icp_kw["tgt_normals"] = n_tgt[None]
         if icp_mode == "symmetric":
@@ -134,7 +149,7 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
 
 _STATIC = ("k_normals", "k_fpfh", "top_m", "spectral_iters", "refine_iters",
            "icp_iters", "icp_mode", "icp_tau", "icp_trim", "icp_voxels",
-           "coarse", "hypotheses")
+           "coarse", "hypotheses", "knn_method", "solver")
 _CORE = jax.jit(_register_core, static_argnames=_STATIC)
 
 
@@ -156,7 +171,8 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                   icp_iters: int = 10, icp_mode: str = "plane",
                   icp_tau: float = 0.0, icp_trim: float | str = 0.0,
                   icp_voxels: tuple = (), coarse: str = "ransac",
-                  hypotheses: int = 512, seed: int = 0):
+                  hypotheses: int = 512, knn_method: str = "approx",
+                  solver: str = "quaternion", seed: int = 0):
     """Register two raw point clouds with no learned model.
 
     src_pts/tgt_pts: [N, 3] arrays (any N — host-side voxel downsample when
@@ -176,10 +192,28 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     non-convexity with a tuple test, the open3d
     registration_fgr_based_on_feature_matching capability; `hypotheses`
     sizes its tuple draw and `sigma` is its Geman-McClure scale floor).
+    Measured on the BASELINE.md scenario suite (examples/scenario_table.py):
+    fgr matches ransac/spectral at >=60% overlap (3/3, <=0.3 deg) but
+    degrades like spectral below it (2/5 at 40% — GNC reweights ALL
+    correspondences smoothly, so at ~1-2% inlier rate the surrogate anneals
+    onto the outlier majority; the multi-hypothesis vote only needs one
+    all-inlier triplet).
     For low-overlap pairs also set
     `icp_trim` — either the overlap fraction if known, or 'auto'
     (Chetverikov TrICP objective — estimates the overlap itself each
     iteration; measured 0.17-0.50° at 40% overlap with no tuning).
+
+    `knn_method`/`solver` are the measured fast defaults (BASELINE.md
+    global-reg attribution): 'approx' = TPU-native approx_min_k for the
+    descriptor neighborhoods (~95% neighbor recall — FPFH histograms are
+    insensitive to near-tied far neighbors; 2x faster than the exact top_k,
+    which lowers to a full per-row sort), and 'quaternion' = Horn's
+    largest-eigenvector solve by shifted power iteration for every Kabsch
+    in the robust stack (batched jnp.linalg.svd of 3x3s lowers terribly on
+    TPU: the 512-hypothesis RANSAC stage alone dropped 3.3 -> 0.7 ms).
+    Set knn_method='exact', solver='svd' to reproduce earlier published
+    numbers bit-for-bit. One shared k-selection feeds both normals and
+    FPFH either way.
     """
     rng = np.random.default_rng(seed)
     src = np.asarray(src_pts, np.float32)
@@ -199,7 +233,8 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                          refine_iters=refine_iters, icp_iters=icp_iters,
                          icp_mode=icp_mode, icp_tau=icp_tau,
                          icp_trim=icp_trim, icp_voxels=tuple(icp_voxels),
-                         coarse=coarse, hypotheses=hypotheses)
+                         coarse=coarse, hypotheses=hypotheses,
+                         knn_method=knn_method, solver=solver)
     info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
             "indices": src_idx}
     return np.asarray(R), np.asarray(t), info
@@ -222,7 +257,8 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,
     kw = dict(k_normals=30, k_fpfh=60, top_m=512, sigma=0.09,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
-              coarse="ransac", hypotheses=512)
+              coarse="ransac", hypotheses=512, knn_method="approx",
+              solver="quaternion")
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown register_fpfh_batch knobs: {sorted(unknown)}")
