@@ -89,7 +89,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--coarse", nargs="+",
                     default=["ransac", "spectral", "fgr"])
-    ap.add_argument("--knn", default=None, choices=["exact", "approx"],
+    ap.add_argument("--knn", default=None,
+                    choices=["exact", "approx", "window"],
                     help="override knn_method (default: register_fpfh's)")
     ap.add_argument("--solver", default=None,
                     choices=["svd", "quaternion"],

@@ -96,6 +96,40 @@ def estimate_normals(x: Array, k: int = 30,
     return normals * sign[:, None]
 
 
+def _accumulate_window(spfh: Array, nbr: Array, inv_w: Array,
+                       tile: int, window: int) -> Array:
+    """Windowed SPFH neighbor accumulation: equals
+    ``einsum('nk,nkc->nc', inv_w, spfh[nbr])`` when every neighbor of tile i
+    lies in [S(i), S(i)+window) — the invariant `morton.knn_graph_window`
+    guarantees on curve-sorted points.
+
+    Instead of gathering K full descriptor rows per point (TPU row-gathers
+    serialize at issue rate — the measured bound of the FPFH stage,
+    BASELINE.md), each tile folds its neighbor weights into a banded
+    adjacency A[t] [tile, window] (one fused compare-multiply-sum, no
+    [tile, K, window] materialization survives fusion) and rides the MXU:
+    A[t] @ spfh[S(t):S(t)+window]. fp32 throughout — descriptors are
+    bit-equal to the gather formulation up to fp add order.
+    """
+    from .morton import window_starts
+    n, c = spfh.shape
+    k = nbr.shape[1]
+    starts = window_starts(n, tile, window)                   # [n//tile]
+    lanes = jnp.arange(window, dtype=jnp.int32)
+
+    def tile_fn(s, nb, ww):
+        cand = jax.lax.dynamic_slice(spfh, (s, jnp.zeros((), s.dtype)),
+                                     (window, c))             # [W, C]
+        local = nb - s                                        # [T, K]
+        adj = jnp.sum((local[..., None] == lanes) * ww[..., None],
+                      axis=1)                                 # [T, W]
+        return adj @ cand                                     # [T, C]
+
+    out = jax.vmap(tile_fn)(starts, nbr.reshape(-1, tile, k),
+                            inv_w.reshape(-1, tile, k))
+    return out.reshape(n, c)
+
+
 def _histogram_onehot(values: Array, lo: float, hi: float) -> Array:
     """values [N, K] → per-point histogram [N, BINS] via one-hot compare
     (scatter-free)."""
@@ -106,9 +140,10 @@ def _histogram_onehot(values: Array, lo: float, hi: float) -> Array:
     return jnp.sum(onehot, axis=1)                      # [N, BINS]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "window_tile"))
 def fpfh(x: Array, normals: Array, k: int = 30,
-         nbr: Array | None = None) -> Array:
+         nbr: Array | None = None,
+         window_tile: tuple[int, int] | None = None) -> Array:
     """FPFH-33 descriptors [N, 33] over k-NN neighborhoods.
 
     Per neighbor pair (i, j): pick the source s ∈ {i, j} whose normal makes
@@ -118,6 +153,13 @@ def fpfh(x: Array, normals: Array, k: int = 30,
 
     `nbr` [N, K] supplies a precomputed neighbor table (ignoring `k`) so one
     k-selection can feed both `estimate_normals` and this extractor.
+
+    `window_tile=(tile, window)` declares that `nbr` satisfies the Hilbert-
+    window invariant (x curve-sorted, nbr from `morton.knn_graph_window`):
+    the SPFH neighbor accumulation then rides the MXU as a banded adjacency
+    matmul instead of gathering K descriptor rows per point
+    (`_accumulate_window`). Same math; the per-edge gathers of x/normals
+    stay (they feed elementwise work, not a reduction).
     """
     n = x.shape[0]
     if nbr is None:
@@ -168,7 +210,11 @@ def fpfh(x: Array, normals: Array, k: int = 30,
     # weighted neighbor accumulation: FPFH_i = SPFH_i + mean_j SPFH_j / w_j
     inv_w = jnp.where(self_mask, 1.0 / (dist + 1e-12), 0.0)  # [N, K]
     counts = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-    neigh = jnp.einsum("nk,nkc->nc", inv_w, spfh[nbr]) / counts
+    if window_tile is not None:
+        tile, window = window_tile
+        neigh = _accumulate_window(spfh, nbr, inv_w, tile, window) / counts
+    else:
+        neigh = jnp.einsum("nk,nkc->nc", inv_w, spfh[nbr]) / counts
     return spfh + neigh
 
 

@@ -107,3 +107,22 @@ def test_extract_fpfh_native_pipeline(surface):
     pair = pairs.build_pair(pts, pts, fn, fn, np.eye(4, dtype=np.float32),
                             inlier_threshold=0.10)
     assert pair["labels"].mean() > 0.9   # identity pair: near-all inliers
+
+
+def test_fpfh_window_accumulation_matches_gather(surface):
+    """window_tile=(tile, window) banded-MXU SPFH accumulation equals the
+    gather/einsum formulation bit-for-bit up to fp add order, given a
+    neighbor table satisfying the Hilbert-window invariant."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    rng = np.random.default_rng(2)
+    idx = rng.permutation(len(surface))[:512]
+    x = jnp.asarray(surface[idx])
+    empty = jnp.zeros((512, 0), jnp.float32)
+    _, xs, _ = morton.sort_by_curve(empty, x)
+    nbr = morton.knn_graph_window(xs, 40, tile=128, window=256)
+    nrm = F.estimate_normals(xs, orient="local", nbr=nbr[:, :20])
+    f_gather = F.fpfh(xs, nrm, nbr=nbr)
+    f_window = F.fpfh(xs, nrm, nbr=nbr, window_tile=(128, 256))
+    np.testing.assert_allclose(np.asarray(f_window), np.asarray(f_gather),
+                               rtol=1e-5, atol=1e-3)

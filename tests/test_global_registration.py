@@ -71,6 +71,44 @@ def test_register_fpfh_independent_sampling(bumpy):
     assert np.all(np.isfinite(info["pose_covariance"]))
 
 
+def test_register_fpfh_window_method(bumpy):
+    """knn_method='window' (Hilbert-window candidates + banded-MXU SPFH
+    accumulation): same pose as the default path, and the per-point weights
+    come back in ORIGINAL point order (the pipeline runs in curve-sorted
+    space — a missing unsort would scramble them against the approx run)."""
+    rng = np.random.default_rng(3)
+    src = bumpy(rng, 1024, -1.0, 1.0)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = bumpy(rng, 1024, -1.0, 1.0) @ R.T + t
+
+    Rw, tw, info_w = register_fpfh(src, tgt, n_points=1024,
+                                   knn_method="window", window=512)
+    assert _rot_deg(Rw, R) < 0.5
+    assert np.linalg.norm(tw - t) < 5e-3
+    # weights must come back in ORIGINAL point order: permuting the input
+    # rows must permute the weights identically (the curve-sorted space is
+    # the same either way, so a missing unsort would return IDENTICAL
+    # vectors for both calls instead). Quantized-code sort ties can swap a
+    # few window sets between the two orderings — demand 99% agreement.
+    p = np.random.default_rng(7).permutation(len(src))
+    _, _, info_p = register_fpfh(src[p], tgt, n_points=1024,
+                                 knn_method="window", window=512)
+    # map both weight vectors back to original src rows via 'indices'
+    w_by_row = np.zeros(len(src)); w_by_row[info_w["indices"]] = info_w["weights"]
+    wp_by_row = np.zeros(len(src)); wp_by_row[p[info_p["indices"]]] = info_p["weights"]
+    close = np.isclose(wp_by_row, w_by_row, rtol=1e-3, atol=1e-5)
+    assert close.mean() > 0.99, close.mean()
+    ww = info_w["weights"]
+    # and they should still track the unsorted-space (approx) run loosely
+    _, _, info_a = register_fpfh(src, tgt, n_points=1024,
+                                 knn_method="approx")
+    assert np.corrcoef(info_a["weights"], ww)[0, 1] > 0.5
+
+    with pytest.raises(ValueError, match="multiples of"):
+        register_fpfh(src, tgt, n_points=1000, knn_method="window")
+
+
 def test_register_fpfh_partial_overlap_trimmed(bumpy):
     """40% overlap: MOST source points have no counterpart — only ~1-2% of
     putative matches are geometrically correct, and the MAD scale inside
