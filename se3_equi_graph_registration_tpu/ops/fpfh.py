@@ -130,6 +130,57 @@ def _accumulate_window(spfh: Array, nbr: Array, inv_w: Array,
     return out.reshape(n, c)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def estimate_normals_window(x: Array, nbr: Array, tile: int,
+                            window: int) -> Array:
+    """estimate_normals(orient='local') for a Hilbert-window neighbor table,
+    with the [N, K, 3] neighborhood gather replaced by banded moment matmuls:
+    per tile, an unweighted adjacency A [tile, W] contracts the window slice
+    [W, 12] of (x, x⊗x) on the MXU — mean and covariance in one pass, no row
+    gathers. Same math as the gather formulation (cov = Σxxᵀ − Kμμᵀ; eig3 is
+    scale-invariant), same orientation (away from the neighborhood centroid).
+    """
+    from .morton import window_starts
+    n = x.shape[0]
+    k = nbr.shape[1]
+    xf = x.astype(jnp.float32)
+    # second-moment columns x⊗x [N, 9] alongside x [N, 3]
+    xx = (xf[:, :, None] * xf[:, None, :]).reshape(n, 9)
+    tab = jnp.concatenate([xf, xx], axis=1)               # [N, 12]
+    starts = window_starts(n, tile, window)
+    lanes = jnp.arange(window, dtype=jnp.int32)
+
+    def tile_fn(s, nb):
+        cand = jax.lax.dynamic_slice(tab, (s, jnp.zeros((), s.dtype)),
+                                     (window, 12))
+        local = nb - s                                    # [T, K]
+        adj = jnp.sum((local[..., None] == lanes).astype(jnp.float32),
+                      axis=1)                             # [T, W]
+        return adj @ cand                                 # [T, 12]
+
+    mom = jax.vmap(tile_fn)(starts, nbr.reshape(-1, tile, k)).reshape(n, 12)
+    mean = mom[:, :3] / k
+    cov = mom[:, 3:].reshape(n, 3, 3) - k * mean[:, :, None] * mean[:, None, :]
+    normals = smallest_eigvec_sym3(cov)
+    ref = xf - mean                                       # 'local' orientation
+    sign = jnp.where(jnp.sum(normals * ref, axis=-1) < 0.0, -1.0, 1.0)
+    return normals * sign[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window"))
+def fpfh_from_spfh(spfh: Array, nbr: Array, dist: Array, tile: int,
+                   window: int) -> Array:
+    """Finish FPFH from a Pallas SPFH pass (ops/pallas/spfh_kernel.py):
+    FPFH_i = SPFH_i + mean_j SPFH_j / ||p_i − p_j|| over the valid (non-self,
+    non-duplicate) neighbors — dist carries 0 at invalid pairs, exactly the
+    kernel's mask. The neighbor accumulation is the banded-MXU matmul."""
+    valid = dist > 0.0
+    inv_w = jnp.where(valid, 1.0 / (dist + 1e-12), 0.0)
+    counts = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+    neigh = _accumulate_window(spfh, nbr, inv_w, tile, window) / counts
+    return spfh + neigh
+
+
 def _histogram_onehot(values: Array, lo: float, hi: float) -> Array:
     """values [N, K] → per-point histogram [N, BINS] via one-hot compare
     (scatter-free)."""

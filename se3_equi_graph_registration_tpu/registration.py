@@ -79,21 +79,31 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
     kk = min(max(k_normals, k_fpfh), src.shape[0])
     window_tile = None
     perm_src = None
-    if knn_method == "window":
+    if knn_method in ("window", "fused"):
         from .ops.morton import knn_graph_window, sort_by_curve
         n = src.shape[0]
         tile = 128
         win = min(window, n)
         if n % tile or win % tile:
             raise ValueError(
-                f"knn_method='window' needs n_points ({n}) and window "
+                f"knn_method={knn_method!r} needs n_points ({n}) and window "
                 f"({win}) to be multiples of {tile}; use knn_method="
                 "'approx' for odd sizes")
         empty = jnp.zeros((n, 0), src.dtype)
         _, src, perm_src = sort_by_curve(empty, src)
         _, tgt, _ = sort_by_curve(empty, tgt)
-        nbr_src = knn_graph_window(src, kk, tile=tile, window=win)
-        nbr_tgt = knn_graph_window(tgt, kk, tile=tile, window=win)
+        if knn_method == "fused":
+            # exact-within-window sweeps fused in Pallas (matches
+            # knn_graph_window bit-for-bit at the same tile/window)
+            from .ops.pallas.knn_kernel import knn_pallas
+            interp = jax.default_backend() != "tpu"
+            nbr_src = knn_pallas(src, kk, tile_t=tile, window=win,
+                                 interpret=interp)
+            nbr_tgt = knn_pallas(tgt, kk, tile_t=tile, window=win,
+                                 interpret=interp)
+        else:
+            nbr_src = knn_graph_window(src, kk, tile=tile, window=win)
+            nbr_tgt = knn_graph_window(tgt, kk, tile=tile, window=win)
         window_tile = (tile, win)
     else:
         nbr_src = knn_graph(src, kk, method=knn_method)
@@ -101,14 +111,31 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
     # 'local' orientation is pose-EQUIVARIANT (away from the neighborhood
     # centroid) — viewpoint orientation would give the two frames different
     # normal signs and scramble the sign-sensitive Darboux angles
-    n_src = fpfh_lib.estimate_normals(src, orient="local",
-                                      nbr=nbr_src[:, :k_normals])
-    n_tgt = fpfh_lib.estimate_normals(tgt, orient="local",
-                                      nbr=nbr_tgt[:, :k_normals])
-    f_src = fpfh_lib.fpfh(src, n_src, nbr=nbr_src[:, :k_fpfh],
-                          window_tile=window_tile)
-    f_tgt = fpfh_lib.fpfh(tgt, n_tgt, nbr=nbr_tgt[:, :k_fpfh],
-                          window_tile=window_tile)
+    if knn_method == "fused":
+        # whole descriptor stage on the window structure: banded-MXU moment
+        # normals + the fused Pallas SPFH kernel (no [N, K, .] row gathers)
+        from .ops.pallas.spfh_kernel import spfh_pallas
+        n_src = fpfh_lib.estimate_normals_window(
+            src, nbr_src[:, :k_normals], tile, win)
+        n_tgt = fpfh_lib.estimate_normals_window(
+            tgt, nbr_tgt[:, :k_normals], tile, win)
+        s_src, d_src = spfh_pallas(src, n_src, nbr_src[:, :k_fpfh], win,
+                                   tile_t=tile, interpret=interp)
+        s_tgt, d_tgt = spfh_pallas(tgt, n_tgt, nbr_tgt[:, :k_fpfh], win,
+                                   tile_t=tile, interpret=interp)
+        f_src = fpfh_lib.fpfh_from_spfh(s_src, nbr_src[:, :k_fpfh], d_src,
+                                        tile, win)
+        f_tgt = fpfh_lib.fpfh_from_spfh(s_tgt, nbr_tgt[:, :k_fpfh], d_tgt,
+                                        tile, win)
+    else:
+        n_src = fpfh_lib.estimate_normals(src, orient="local",
+                                          nbr=nbr_src[:, :k_normals])
+        n_tgt = fpfh_lib.estimate_normals(tgt, orient="local",
+                                          nbr=nbr_tgt[:, :k_normals])
+        f_src = fpfh_lib.fpfh(src, n_src, nbr=nbr_src[:, :k_fpfh],
+                              window_tile=window_tile)
+        f_tgt = fpfh_lib.fpfh(tgt, n_tgt, nbr=nbr_tgt[:, :k_fpfh],
+                              window_tile=window_tile)
 
     j_of_i, mutual, dist = match_features(f_src, f_tgt)
     tgt_corr = tgt[j_of_i]

@@ -108,6 +108,13 @@ def test_register_fpfh_window_method(bumpy):
     with pytest.raises(ValueError, match="multiples of"):
         register_fpfh(src, tgt, n_points=1000, knn_method="window")
 
+    # 'fused' = same window structure through the Pallas kernels (knn sweeps
+    # + SPFH Darboux/histogram; interpret mode on CPU): same pose
+    Rf, tf, _ = register_fpfh(src, tgt, n_points=1024,
+                              knn_method="fused", window=512)
+    assert _rot_deg(Rf, R) < 0.5
+    assert np.linalg.norm(tf - t) < 5e-3
+
 
 def test_register_fpfh_partial_overlap_trimmed(bumpy):
     """40% overlap: MOST source points have no counterpart — only ~1-2% of
