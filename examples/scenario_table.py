@@ -90,7 +90,7 @@ def main():
     ap.add_argument("--coarse", nargs="+",
                     default=["ransac", "spectral", "fgr"])
     ap.add_argument("--knn", default=None,
-                    choices=["exact", "approx", "window"],
+                    choices=["exact", "approx", "window", "fused"],
                     help="override knn_method (default: register_fpfh's)")
     ap.add_argument("--solver", default=None,
                     choices=["svd", "quaternion"],

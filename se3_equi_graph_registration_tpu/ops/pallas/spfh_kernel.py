@@ -204,10 +204,12 @@ def spfh_pallas(x: Array, normals: Array, nbr: Array, window: int,
     assert n % T == 0 and T <= window <= n, (n, T, window)
     assert window % T == 0 and (n - window) % T == 0, (window, T, n)
     if chunk is None:
-        # largest divisor of T*K that keeps the [window, E] one-hot in VMEM
-        chunk = max(d for d in range(1, min(tk, 2048) + 1) if tk % d == 0)
+        # largest 128-multiple divisor of T*K that keeps the [window, E]
+        # one-hot in VMEM (Mosaic block shapes need lane dims % 128)
+        chunk = max(d for d in range(128, min(tk, 2048) + 1, 128)
+                    if tk % d == 0)
     E = chunk
-    assert tk % E == 0, (tk, E)
+    assert tk % E == 0 and E % 128 == 0, (tk, E)
 
     xt = jnp.swapaxes(x, -1, -2).astype(jnp.float32)      # [B, 3, N]
     nt = jnp.swapaxes(normals, -1, -2).astype(jnp.float32)
