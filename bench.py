@@ -218,29 +218,54 @@ def bench_global_stages(b=1, n=2048, iters=20, knn_method="approx",
     def prefix(stage):
         def core(x, y, key):
             window_tile = None
-            if knn_method == "window":
+            if knn_method in ("window", "fused"):
                 from se3_equi_graph_registration_tpu.ops.morton import (
                     knn_graph_window, sort_by_curve)
                 win = min(window, n)
                 empty = jnp.zeros((n, 0), x.dtype)
                 _, x, _ = sort_by_curve(empty, x)
                 _, y, _ = sort_by_curve(empty, y)
-                nbr_s = knn_graph_window(x, min(60, n), window=win)
-                nbr_t = knn_graph_window(y, min(60, n), window=win)
+                if knn_method == "fused":
+                    from se3_equi_graph_registration_tpu.ops.pallas.knn_kernel import knn_pallas
+                    interp = jax.default_backend() != "tpu"
+                    nbr_s = knn_pallas(x, min(60, n), tile_t=128, window=win,
+                                       interpret=interp)
+                    nbr_t = knn_pallas(y, min(60, n), tile_t=128, window=win,
+                                       interpret=interp)
+                else:
+                    nbr_s = knn_graph_window(x, min(60, n), window=win)
+                    nbr_t = knn_graph_window(y, min(60, n), window=win)
                 window_tile = (128, win)
             else:
                 nbr_s = knn_graph(x, min(60, n), method=knn_method)
                 nbr_t = knn_graph(y, min(60, n), method=knn_method)
             if stage == "knn":
                 return (nbr_s + nbr_t).astype(jnp.float32),
-            n_s = fpfh_lib.estimate_normals(x, orient="local",
-                                            nbr=nbr_s[:, :30])
-            n_t = fpfh_lib.estimate_normals(y, orient="local",
-                                            nbr=nbr_t[:, :30])
-            if stage == "normals":
-                return n_s + n_t,
-            f_s = fpfh_lib.fpfh(x, n_s, nbr=nbr_s, window_tile=window_tile)
-            f_t = fpfh_lib.fpfh(y, n_t, nbr=nbr_t, window_tile=window_tile)
+            if knn_method == "fused":
+                from se3_equi_graph_registration_tpu.ops.pallas.spfh_kernel import spfh_pallas
+                n_s = fpfh_lib.estimate_normals_window(x, nbr_s[:, :30],
+                                                       128, win)
+                n_t = fpfh_lib.estimate_normals_window(y, nbr_t[:, :30],
+                                                       128, win)
+                if stage == "normals":
+                    return n_s + n_t,
+                s_s, d_s = spfh_pallas(x, n_s, nbr_s, win, tile_t=128,
+                                       interpret=interp)
+                s_t, d_t = spfh_pallas(y, n_t, nbr_t, win, tile_t=128,
+                                       interpret=interp)
+                f_s = fpfh_lib.fpfh_from_spfh(s_s, nbr_s, d_s, 128, win)
+                f_t = fpfh_lib.fpfh_from_spfh(s_t, nbr_t, d_t, 128, win)
+            else:
+                n_s = fpfh_lib.estimate_normals(x, orient="local",
+                                                nbr=nbr_s[:, :30])
+                n_t = fpfh_lib.estimate_normals(y, orient="local",
+                                                nbr=nbr_t[:, :30])
+                if stage == "normals":
+                    return n_s + n_t,
+                f_s = fpfh_lib.fpfh(x, n_s, nbr=nbr_s,
+                                    window_tile=window_tile)
+                f_t = fpfh_lib.fpfh(y, n_t, nbr=nbr_t,
+                                    window_tile=window_tile)
             if stage == "fpfh":
                 return f_s + f_t,
             j, mutual, dist = reg.match_features(f_s, f_t)
@@ -317,17 +342,30 @@ def main():
     ap.add_argument("--stages", action="store_true",
                     help="with --global-reg: per-stage attribution table "
                          "(stderr) + JSON ms dict (stdout)")
+    ap.add_argument("--knn", default="approx",
+                    choices=("approx", "exact", "window", "fused"),
+                    help="with --global-reg: descriptor-stage k-NN method "
+                         "(registration.register_fpfh knn_method)")
+    ap.add_argument("--window", type=int, default=512,
+                    help="with --global-reg --knn window/fused: Hilbert "
+                         "window width (multiple of 128)")
+    ap.add_argument("--solver", default="quaternion",
+                    choices=("quaternion", "svd"),
+                    help="with --global-reg --stages: Kabsch solver for "
+                         "the robust stack")
     args = ap.parse_args()
 
     if args.global_reg and args.stages:
         res = bench_global_stages(b=(args.batches or [1])[0], n=args.n,
-                                  iters=args.iters)
+                                  iters=args.iters, knn_method=args.knn,
+                                  solver=args.solver, window=args.window)
         print(json.dumps({k: round(v, 3) for k, v in res.items()}))
         return
     if args.global_reg:
         value, _ = bench_global(batch_sizes=tuple(args.batches or (1, 8, 32)),
                                 n=args.n, iters=args.iters,
-                                verbose=args.verbose)
+                                verbose=args.verbose, knn_method=args.knn,
+                                window=args.window)
         print(json.dumps({
             "metric": f"global_registration_pairs_per_sec_{args.n}pts_single_chip",
             "value": round(value, 2),

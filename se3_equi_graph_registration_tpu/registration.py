@@ -34,7 +34,8 @@ from .ops.spectral import spectral_match_weights
 
 Array = jax.Array
 
-__all__ = ["register_fpfh", "register_fpfh_batch", "match_features"]
+__all__ = ["register_fpfh", "register_fpfh_batch", "match_features",
+           "export_compiled", "load_exported"]
 
 
 def match_features(src_feat: Array, tgt_feat: Array
@@ -310,6 +311,75 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
             "indices": src_idx}
     return np.asarray(R), np.asarray(t), info
+
+
+def export_compiled(path: str, *, batch: int = 1, n_points: int = 2048,
+                    platforms: tuple | None = None, **knobs) -> int:
+    """AOT-export the checkpoint-free registration pipeline as a portable
+    serialized program (`jax.export` / StableHLO) and write it to `path`;
+    returns the artifact size in bytes.
+
+    The artifact captures the ENTIRE classic pipeline — descriptor k-NN +
+    normals + FPFH + mutual matching + coarse hypotheses + IRLS + ICP +
+    covariance — as one compiler-ready fixed-shape program. There are no
+    weights: the program is self-contained, so the deployment site needs
+    only jax (no framework code, no checkpoints — the same deployment story
+    `serving.Registrar.export_compiled` gives the learned path). All
+    register_fpfh_batch knobs are baked in as compile-time constants.
+
+    Reload with :func:`load_exported`; the loaded callable takes
+    ``(src [batch, n_points, 3] f32, tgt [batch, n_points, 3] f32,
+    keys [batch, 2] uint32)`` — raw-key PRNG rows as produced by
+    ``jax.random.split(jax.random.PRNGKey(seed), batch)`` — and returns
+    ``(R [batch, 3, 3], t [batch, 3], weights [batch, n_points],
+    pose_covariance [batch, 6, 6])``. `platforms` pins the target list
+    (e.g. ``("tpu",)``); default = the platform exporting.
+    """
+    from jax import export as jexport
+
+    kw = dict(k_normals=30, k_fpfh=60, top_m=512, sigma=0.09,
+              spectral_iters=12, refine_iters=5, icp_iters=10,
+              icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
+              coarse="ransac", hypotheses=512, knn_method="approx",
+              solver="quaternion", window=768)
+    unknown = set(knobs) - set(kw)
+    if unknown:
+        raise TypeError(f"unknown export_compiled knobs: {sorted(unknown)}")
+    kw.update(knobs)
+    kw["icp_voxels"] = tuple(kw["icp_voxels"])
+    kw["top_m"] = min(kw["top_m"], n_points)
+
+    fn = jax.jit(lambda src, tgt, keys: _core_batch(src, tgt, keys, **kw))
+    specs = (jax.ShapeDtypeStruct((batch, n_points, 3), jnp.float32),
+             jax.ShapeDtypeStruct((batch, n_points, 3), jnp.float32),
+             jax.ShapeDtypeStruct((batch, 2), jnp.uint32))
+    ekw = {} if platforms is None else {"platforms": list(platforms)}
+    try:
+        exp = jexport.export(fn, **ekw)(*specs)
+    except ValueError as e:
+        if "custom_call" not in str(e):
+            raise
+        # knn_method='fused' lowers Pallas kernels to a TPU custom call,
+        # which export's safety checks flag as non-portable by default; it
+        # IS replayable on TPU runtimes of the same libtpu generation
+        ekw["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        exp = jexport.export(fn, **ekw)(*specs)
+    data = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str):
+    """Load an :func:`export_compiled` artifact; returns
+    ``fn(src, tgt, keys) -> (R, t, weights, pose_covariance)``. Only jax is
+    required at the deployment site (no framework code)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return jax.jit(exp.call)
 
 
 def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,

@@ -289,3 +289,46 @@ def test_register_fpfh_batch_mesh_matches_single_device(bumpy):
                                     mesh=local_mesh_for_testing(8), **kw)
     np.testing.assert_allclose(R1, R0, atol=2e-5)
     np.testing.assert_allclose(t1, t0, atol=2e-5)
+
+
+def test_export_compiled_roundtrip(bumpy, tmp_path):
+    """AOT export (jax.export / StableHLO) of the checkpoint-free pipeline:
+    the serialized program reloads WITHOUT framework code and reproduces
+    the live jitted call bit-exactly — the deployment story
+    serving.Registrar.export_compiled gives the learned path, here with no
+    weights at all (the program is self-contained)."""
+    import os
+
+    import jax
+
+    from se3_equi_graph_registration_tpu import registration as reg
+
+    rng = np.random.default_rng(5)
+    n, b = 256, 2
+    srcs, tgts = [], []
+    for _ in range(b):
+        s = bumpy(rng, n, -1.0, 1.0)
+        R = random_rotation(rng).astype(np.float32)
+        t = (rng.standard_normal(3) * 0.2).astype(np.float32)
+        srcs.append(s)
+        tgts.append(bumpy(rng, n, -1.0, 1.0) @ R.T + t)
+    src, tgt = jnp.asarray(np.stack(srcs)), jnp.asarray(np.stack(tgts))
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+
+    kw = dict(icp_iters=4, hypotheses=128, top_m=128)
+    path = str(tmp_path / "register.jaxexport")
+    size = reg.export_compiled(path, batch=b, n_points=n, **kw)
+    assert size > 0 and os.path.getsize(path) == size
+
+    live = jax.device_get(reg._CORE_BATCH(
+        src, tgt, keys, k_normals=30, k_fpfh=60, sigma=0.09,
+        spectral_iters=12, refine_iters=5, icp_mode="plane", icp_tau=0.0,
+        icp_trim=0.0, icp_voxels=(), coarse="ransac", knn_method="approx",
+        solver="quaternion", window=768, **kw))
+    fn = reg.load_exported(path)
+    loaded = jax.device_get(fn(src, tgt, keys))
+    for a, c in zip(live, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    with pytest.raises(TypeError, match="unknown export_compiled"):
+        reg.export_compiled(path, batch=b, n_points=n, bogus=1)
