@@ -123,7 +123,13 @@ def _accumulate_window(spfh: Array, nbr: Array, inv_w: Array,
         local = nb - s                                        # [T, K]
         adj = jnp.sum((local[..., None] == lanes) * ww[..., None],
                       axis=1)                                 # [T, W]
-        return adj @ cand                                     # [T, C]
+        # HIGHEST: adj carries the 1/d weights (large dynamic range) and a
+        # DEFAULT-precision TPU matmul rounds operands to bf16 — measured to
+        # corrupt the descriptors (BASELINE.md); CPU runs fp32 either way,
+        # so only a TPU run sees the difference. Guarded by
+        # tests/test_fpfh.py::test_window_banded_matmuls_request_fp32.
+        return jnp.matmul(adj, cand,
+                          precision=jax.lax.Precision.HIGHEST)  # [T, C]
 
     out = jax.vmap(tile_fn)(starts, nbr.reshape(-1, tile, k),
                             inv_w.reshape(-1, tile, k))
@@ -156,7 +162,17 @@ def estimate_normals_window(x: Array, nbr: Array, tile: int,
         local = nb - s                                    # [T, K]
         adj = jnp.sum((local[..., None] == lanes).astype(jnp.float32),
                       axis=1)                             # [T, W]
-        return adj @ cand                                 # [T, 12]
+        # HIGHEST is load-bearing: cov = Σxxᵀ − Kμμᵀ is a catastrophic
+        # cancellation (second moments ~K·x² vs a neighborhood-variance
+        # signal ~K·σ², 6 orders apart at scan scale), and a DEFAULT TPU
+        # matmul rounds the moment table to bf16 (~0.4% of the MOMENT =
+        # orders of magnitude above the signal) — measured on the real chip
+        # as garbage normals → 1/3 scenario success at 60% overlap vs 3/3
+        # fixed. CPU tests run fp32 at either setting and cannot catch it;
+        # tests/test_fpfh.py::test_window_banded_matmuls_request_fp32 pins
+        # the jaxpr instead.
+        return jnp.matmul(adj, cand,
+                          precision=jax.lax.Precision.HIGHEST)  # [T, 12]
 
     mom = jax.vmap(tile_fn)(starts, nbr.reshape(-1, tile, k)).reshape(n, 12)
     mean = mom[:, :3] / k

@@ -283,10 +283,25 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     adjacency matmul (ops/fpfh._accumulate_window). Neighbor recall at
     k=60 is ~0.89/0.93/0.96 at W=512/768/1024 on the scenario surfaces
     (vs ~0.95 for 'approx'); measured same-process on the real chip the
-    end-to-end pipeline is ~5% faster at W=512 and the scenario table
+    end-to-end pipeline is ~9% faster at W=512 and the scenario table
     holds 3/3 at >=60% overlap, but near-boundary 40%-overlap seeds flip
     more often than under 'approx' (BASELINE.md) — prefer 'approx' for
     low-overlap pairs.
+
+    knn_method='fused' keeps the same window structure but runs the WHOLE
+    descriptor stage in Pallas kernels: exact-within-window k-NN sweeps
+    (ops/pallas/knn_kernel.knn_pallas), banded-MXU moment normals
+    (fpfh.estimate_normals_window), and the fused SPFH Darboux/histogram
+    kernel (ops/pallas/spfh_kernel) — no [N, K, .] row gathers anywhere
+    (the measured bound of the 'approx' descriptor stage, BASELINE.md
+    attribution). Measured same-process on the real chip at N=2048:
+    4.20 ms vs 6.05 ms under 'approx' (238 vs 165 pairs/s, 1.44x), with
+    the same scenario quality as 'window' (3/3 at >=60% overlap;
+    near-boundary 40% seeds flip — same guidance as above). The banded
+    contractions REQUIRE Precision.HIGHEST: at the TPU default (bf16
+    operands) the moment cancellation inside the normals collapsed to
+    garbage, measured as 1/3 at 60% overlap — pinned by
+    tests/test_fpfh.py::test_window_banded_matmuls_request_fp32.
     """
     rng = np.random.default_rng(seed)
     src = np.asarray(src_pts, np.float32)

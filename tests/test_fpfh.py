@@ -157,3 +157,49 @@ def test_spfh_pallas_matches_jnp_fpfh(surface):
     # dist zeroes exactly the self pair on this duplicate-free cloud
     d = np.asarray(dist)
     assert np.all((d == 0).sum(axis=1) == 1)
+
+
+def test_window_banded_matmuls_request_fp32():
+    """The banded MXU contractions in estimate_normals_window and
+    _accumulate_window must request Precision.HIGHEST: a DEFAULT-precision
+    TPU matmul rounds operands to bf16, which destroys the moment
+    cancellation cov = Σxxᵀ − Kμμᵀ (garbage normals — measured 1/3 vs 3/3
+    scenario success at 60% overlap on the real chip) and corrupts the 1/d
+    SPFH weights. CPU executes fp32 at either setting, so this pins the
+    JAXPR rather than values."""
+    import jax
+
+    n, k, tile, window = 512, 20, 128, 256
+
+    def banded_precisions(jaxpr):
+        """(precision) of every dot_general contracting over `window` lanes
+        (the banded adj @ cand matmuls; eig3's small [3, 3] dots are
+        precision-insensitive and excluded)."""
+        out = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                (lc, _), _ = eqn.params["dimension_numbers"]
+                lhs = eqn.invars[0].aval.shape
+                if any(lhs[d] == window for d in lc):
+                    out.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                for j in jax.core.jaxprs_in_params({"_": v}):
+                    out.extend(banded_precisions(j))
+        return out
+
+    x = jnp.zeros((n, 3), jnp.float32)
+    nbr = jnp.zeros((n, k), jnp.int32)
+    jx = jax.make_jaxpr(
+        lambda a, b: F.estimate_normals_window(a, b, tile, window))(x, nbr)
+    precs = banded_precisions(jx.jaxpr)
+    assert precs, "no banded dot_general found — banded path changed?"
+    hi = jax.lax.Precision.HIGHEST
+    assert all(p == (hi, hi) for p in precs), precs
+
+    spfh = jnp.zeros((n, 33), jnp.float32)
+    inv_w = jnp.zeros((n, k), jnp.float32)
+    jx2 = jax.make_jaxpr(
+        lambda s, b, w: F._accumulate_window(s, b, w, tile, window))(
+        spfh, nbr, inv_w)
+    precs2 = banded_precisions(jx2.jaxpr)
+    assert precs2 and all(p == (hi, hi) for p in precs2), precs2
