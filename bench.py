@@ -353,6 +353,9 @@ def main():
                     choices=("quaternion", "svd"),
                     help="with --global-reg --stages: Kabsch solver for "
                          "the robust stack")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="default mode: skip the train/global-reg extra "
+                         "fields (primary inference metric only)")
     args = ap.parse_args()
 
     if args.global_reg and args.stages:
@@ -390,12 +393,26 @@ def main():
                           iters=args.iters, verbose=args.verbose,
                           profile_dir=args.profile)
     target = 1000.0  # BASELINE.json: >=1000 pairs/s @ 2048 pts on v5e-8
-    print(json.dumps({
+    out = {
         "metric": f"registration_pairs_per_sec_{args.n}pts_single_chip",
         "value": round(value, 1),
         "unit": "pairs/s",
         "vs_baseline": round(value / target, 3),
-    }))
+    }
+    # Regression-guard the OTHER two headline paths in the same driver
+    # artifact (VERDICT r4 weak #7): full training step and the
+    # checkpoint-free global-registration pipeline, each at its best-known
+    # knobs (BASELINE.md). Extra fields only — the primary metric/value pair
+    # stays what the driver's parser expects. --no-extras skips them.
+    if not args.no_extras:
+        train_v, _ = bench_train(batch_sizes=(64,), n=args.n, k=args.k,
+                                 iters=args.iters, verbose=args.verbose)
+        out["train_pairs_per_sec"] = round(train_v, 1)
+        glob_v, _ = bench_global(batch_sizes=(1,), n=args.n,
+                                 iters=args.iters, verbose=args.verbose,
+                                 knn_method="fused", window=512)
+        out["global_reg_pairs_per_sec"] = round(glob_v, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -123,11 +123,13 @@ def _accumulate_window(spfh: Array, nbr: Array, inv_w: Array,
         local = nb - s                                        # [T, K]
         adj = jnp.sum((local[..., None] == lanes) * ww[..., None],
                       axis=1)                                 # [T, W]
-        # HIGHEST: adj carries the 1/d weights (large dynamic range) and a
-        # DEFAULT-precision TPU matmul rounds operands to bf16 — measured to
-        # corrupt the descriptors (BASELINE.md); CPU runs fp32 either way,
-        # so only a TPU run sees the difference. Guarded by
-        # tests/test_fpfh.py::test_window_banded_matmuls_request_fp32.
+        # HIGHEST: the MEASURED catastrophic bf16 failure was the moment
+        # cancellation in estimate_normals_window (see there); this
+        # accumulation is only mildly sensitive (1/d weights, no
+        # cancellation) but is pinned fp32 for consistency with the gather
+        # formulation (fpfh() pins its einsum the same way) — the cost is
+        # negligible and it keeps fused/approx descriptors comparable.
+        # Guarded by tests/test_fpfh.py::test_window_banded_matmuls_request_fp32.
         return jnp.matmul(adj, cand,
                           precision=jax.lax.Precision.HIGHEST)  # [T, C]
 
@@ -281,7 +283,14 @@ def fpfh(x: Array, normals: Array, k: int = 30,
         tile, window = window_tile
         neigh = _accumulate_window(spfh, nbr, inv_w, tile, window) / counts
     else:
-        neigh = jnp.einsum("nk,nkc->nc", inv_w, spfh[nbr]) / counts
+        # fp32 like the banded path (_accumulate_window): not the measured
+        # catastrophic term (that was the normals' moment cancellation), but
+        # a DEFAULT TPU matmul would bf16-round the 1/d weights here while
+        # the window path computes the same sum in fp32 — pin both so the
+        # two formulations stay comparable. Cost is negligible (not the hot
+        # path).
+        neigh = jnp.einsum("nk,nkc->nc", inv_w, spfh[nbr],
+                           precision=jax.lax.Precision.HIGHEST) / counts
     return spfh + neigh
 
 

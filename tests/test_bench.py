@@ -41,7 +41,7 @@ def test_main_prints_one_json_line(bench_mod, capsys, monkeypatch):
     metric/value/unit/vs_baseline keys."""
     for argv in (
         ["bench.py", "--n", "256", "--k", "8", "--iters", "1",
-         "--batches", "2"],
+         "--batches", "2", "--no-extras"],
         ["bench.py", "--global-reg", "--n", "256", "--iters", "1",
          "--batches", "1"],
     ):
@@ -52,3 +52,22 @@ def test_main_prints_one_json_line(bench_mod, capsys, monkeypatch):
         rec = json.loads(out[0])
         assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
         assert rec["value"] > 0
+
+
+def test_main_default_carries_all_three_throughputs(bench_mod, capsys,
+                                                    monkeypatch):
+    """The driver-captured artifact regression-guards the learned path,
+    training, AND the checkpoint-free pipeline (VERDICT r4 weak #7): the
+    default line keeps the primary keys and adds the two extra fields."""
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--n", "256", "--k", "8", "--iters", "1",
+                         "--batches", "2"])
+    bench_mod.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline",
+                        "train_pairs_per_sec", "global_reg_pairs_per_sec"}
+    assert rec["value"] > 0
+    assert rec["train_pairs_per_sec"] > 0
+    assert rec["global_reg_pairs_per_sec"] > 0
