@@ -172,6 +172,160 @@ def test_kitti_driver_step0_matches_reference(kitti_mod, rand_ckpt,
     assert np.isclose(float(lb.trans), ref["trans"], atol=1e-3)
 
 
+def _flax_to_ref_named_kitti(tree: dict) -> dict:
+    """flax param/grad pytree → reference state-dict names at the KITTI dims
+    (33-d, 1 head). Same transpose-commutes-with-d/dW argument as the 3DMatch
+    harness (tests/test_train_parity.py)."""
+    from se3_equi_graph_registration_tpu.train.checkpoints import (
+        _export_egnn_sd, _rt)
+    sd = _export_egnn_sd(tree["params"]["egnn"], prefix="egnn.", n_layers=3,
+                         num_heads=1, hidden=33)
+    mlp = tree["params"]["mlp"]
+    for i, name in ((0, "dense_0"), (2, "dense_1"), (4, "dense_2")):
+        sd[f"mlp.{i}.weight"] = _rt(mlp[name]["kernel"])
+        sd[f"mlp.{i}.bias"] = np.asarray(mlp[name]["bias"])
+    return sd
+
+
+LR = 1e-4
+
+
+def _torch_one_step_kitti(kitti_mod, ckpt_path, item):
+    """The reference KITTI training step, verbatim semantics: imported head
+    forward, total = corr_loss.mean() + ssim_loss.mean()
+    (kitti_train_egnn_with_batch.py:1089-1094), loss.backward() (:1095),
+    Adam (:1381) step."""
+    # build at the KITTI dims inline (reference_oracle.build_head hardwires
+    # the 3DMatch 32-d/4-head geometry): same construction as the driver
+    # (:1515-1518, :1608) — EGNN never forwards num_heads, so E_GCL runs the
+    # 1-head default
+    ck = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    egnn = kitti_mod.EGNN(in_node_nf=33, hidden_nf=33, out_node_nf=33,
+                          in_edge_nf=1, device="cpu", n_layers=3,
+                          residual=True, attention=True)
+    egnn.load_state_dict(
+        {k: v.float() for k, v in ck["egnn_state_dict"].items()}, strict=True)
+    head = kitti_mod.CrossAttentionPoseRegression(egnn, num_nodes=NUM_NODE,
+                                                  hidden_nf=33, device="cpu")
+    head.load_state_dict(
+        {k: v.float() for k, v in ck["cross_attention_state_dict"].items()},
+        strict=True)
+    tt = [torch.from_numpy(np.ascontiguousarray(np.asarray(v))).unsqueeze(0)
+          for v in item]
+    corr, labels, src_pts, tgt_pts, src_feat, tgt_feat, gt_pose = tt
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        g0 = _stable_knn_graph(src_pts[0], 16, loop=True)
+        g1 = _stable_knn_graph(tgt_pts[0], 16, loop=True)
+        e0, ea0 = kitti_mod.get_edges_batch(g0, NUM_NODE, 1)
+        e1, ea1 = kitti_mod.get_edges_batch(g1, NUM_NODE, 1)
+        edges_0 = torch.stack(e0, dim=0)[None]
+        edges_1 = torch.stack(e1, dim=0)[None]
+        opt = torch.optim.Adam(head.parameters(), lr=LR)   # :1381
+        opt.zero_grad()
+        with reference_oracle.quiet():
+            out = head(src_feat, src_pts, edges_0, ea0[None],
+                       tgt_feat, tgt_pts, edges_1, ea1[None],
+                       corr, labels, gt_pose)
+        corr_loss, equi_loss = out[2], out[3]
+        loss = corr_loss.mean() + equi_loss.mean()         # :1089-1094
+        loss.backward()                                    # :1095
+        grads = {name: p.grad.detach().clone()
+                 for name, p in head.named_parameters() if p.grad is not None}
+        opt.step()
+        post = {name: p.detach().clone()
+                for name, p in head.named_parameters()}
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    return float(loss), grads, post
+
+
+def _jax_one_step_kitti(ckpt_path, batch):
+    """Our engine at the KITTI parity knobs: explicit grads (the same loss_fn
+    make_train_step differentiates) + one make_train_step Adam step."""
+    import jax.numpy as jnp
+    import optax
+
+    params = convert_reference_checkpoint(ckpt_path, n_layers=3, num_heads=1,
+                                          hidden=33)
+    cfg = _parity_cfg()
+    model = engine.build_model(cfg)
+
+    def loss_fn(p):
+        out = engine._apply_with_graphs(model, cfg, p, batch)
+        lb = losses_lib.total_loss(out, batch["gt_pose"], batch["labels"],
+                                   cfg.loss_weights)
+        return lb.total
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss = float(loss)
+
+    opt = optax.adam(LR)  # same (β1, β2, eps) defaults as torch.optim.Adam
+    state = engine.TrainState(params=params, opt_state=opt.init(params),
+                              step=jnp.zeros((), jnp.int32))
+    step = engine.make_train_step(model, opt, cfg)
+    new_state, _ = step(state, batch)
+    return loss, grads, jax.device_get(new_state.params)
+
+
+@pytest.mark.slow
+def test_kitti_one_step_training_matches_reference(kitti_mod, rand_ckpt,
+                                                   kitti_root):
+    """VERDICT r4 #5: the KITTI gradient path — value_and_grad through the
+    33-d/1-head EGNN, the top_k=2048 similarity gather, the BCE corr term and
+    the equivariance term (corr + equi composition, :1089), then one Adam
+    update — per tensor vs `loss.backward(); optimizer.step()` in the imported
+    KITTI driver. The concat width (66 vs 64) and the head count (1 vs 4)
+    exercise different gradient plumbing than the 3DMatch harness."""
+    ckpt_path, _head = rand_ckpt
+    dsmod = _load_ref_kitti()
+    ds_ref = dsmod.KITTItrainVal(kitti_root, "train", descriptor="fpfh",
+                                 num_node=NUM_NODE)
+    np.random.seed(SEED)
+    item = [np.asarray(v) for v in ds_ref[0]]
+    t_loss, t_grads, t_post = _torch_one_step_kitti(kitti_mod, ckpt_path, item)
+
+    ours_ds = KITTIPairDataset(root=kitti_root, split="train",
+                               descriptor="fpfh", num_node=NUM_NODE,
+                               seed=SEED, legacy_sampling_rng=True)
+    tup = tuple(np.asarray(v)[None] for v in ours_ds[0])
+    batch = engine.batch_to_device(tup)
+    j_loss, j_grads, j_post = _jax_one_step_kitti(ckpt_path, batch)
+
+    # 1) step-0 total loss (corr + equi)
+    assert np.isclose(j_loss, t_loss, rtol=1e-4, atol=1e-5), (j_loss, t_loss)
+
+    # 2) per-tensor gradients: exactly the live parameter set gets gradient
+    # on both sides (egnn + corr mlp; the head's dead aux modules get None in
+    # torch and have no flax counterpart)
+    j_named = _flax_to_ref_named_kitti(j_grads)
+    assert set(t_grads) == set(j_named), (set(t_grads) ^ set(j_named))
+    for name, tg in t_grads.items():
+        a = np.asarray(j_named[name], np.float64).ravel()
+        b = tg.numpy().astype(np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        scale = max(na, nb)
+        assert scale > 0 or na == nb == 0, name
+        if scale == 0:
+            continue
+        cos = float(np.dot(a, b) / (na * nb))
+        rel = float(np.linalg.norm(a - b) / scale)
+        assert cos >= 1 - 1e-5, (name, cos)
+        assert rel <= 2e-3, (name, rel)
+
+    # 3) post-Adam parameters: step-1 Adam updates are ≈ ±lr per weight, so
+    # fp-noise sign flips on near-zero gradients bound divergence at 2·lr
+    post_named = _flax_to_ref_named_kitti(j_post)
+    deltas = []
+    for name, tensor in post_named.items():
+        d = np.abs(np.asarray(tensor, np.float64)
+                   - t_post[name].numpy().astype(np.float64))
+        deltas.append(d.max())
+        assert d.max() <= 2.0 * LR * 1.05, (name, d.max())
+    assert np.median(deltas) <= 0.5 * LR, np.median(deltas)
+
+
 def test_kitti_cli_eval_runs_on_reference_archive(kitti_root, rand_ckpt,
                                                   tmp_path):
     """`cli eval --preset kitti` consumes the reference-schema KITTI archive
