@@ -131,7 +131,7 @@ def bench_train(batch_sizes=(16, 64), n=2048, k=16, c=32, iters=20,
 
 
 def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False,
-                 knn_method="approx", window=512):
+                 knn_method="approx", window=512, knn_packed=False):
     """Checkpoint-free global registration (registration._register_core,
     vmapped over the pair axis): FPFH + mutual matching + RANSAC + IRLS +
     trimmed plane ICP, one jitted program. knn_method='window' swaps the
@@ -146,7 +146,7 @@ def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
               icp_voxels=(), coarse="ransac", hypotheses=512,
-              knn_method=knn_method, window=window)
+              knn_method=knn_method, window=window, knn_packed=knn_packed)
 
     best, best_b = 0.0, None
     rng = np.random.default_rng(0)

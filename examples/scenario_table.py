@@ -54,12 +54,14 @@ def rot_deg(Ra, Rb):
 # (label, tgt x-range, seeds, extra register_fpfh knobs). 40% overlap keeps
 # the published protocol: top_m=256 (fewer junk candidates), overlap-fraction
 # ICP trimming (a MAD scale is corrupted above 50% outliers), more ICP.
+# Seed counts are per-cell DEFAULTS; --seeds N overrides all cells (the
+# BASELINE.md table uses 20 — 3-5 Bernoulli trials cannot rank methods).
 SCENARIOS = [
-    ("full overlap (3 seeds)", (-1.0, 1.0), 3, {}),
-    ("60% overlap (3 seeds)", (-0.2, 1.8), 3, {}),
-    ("40% + icp_trim=0.35 (5 seeds)", (0.2, 2.2), 5,
+    ("full overlap", (-1.0, 1.0), 3, {}),
+    ("60% overlap", (-0.2, 1.8), 3, {}),
+    ("40% + icp_trim=0.35", (0.2, 2.2), 5,
      dict(top_m=256, icp_trim=0.35, icp_iters=20)),
-    ("40% + icp_trim='auto' (3 seeds)", (0.2, 2.2), 3,
+    ("40% + icp_trim='auto'", (0.2, 2.2), 3,
      dict(top_m=256, icp_trim="auto", icp_iters=20)),
 ]
 
@@ -95,6 +97,13 @@ def main():
     ap.add_argument("--solver", default=None,
                     choices=["svd", "quaternion"],
                     help="override the Kabsch solver (default: register_fpfh's)")
+    ap.add_argument("--seeds", type=int, default=None,
+                    help="override every cell's seed count (BASELINE.md "
+                         "table protocol: 20)")
+    ap.add_argument("--branches", type=int, default=None,
+                    help="override ransac_branches (default: register_fpfh's)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="override the Hilbert window size")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -107,13 +116,25 @@ def main():
         extra["knn_method"] = args.knn
     if args.solver:
         extra["solver"] = args.solver
+    if args.branches is not None:
+        extra["ransac_branches"] = args.branches
+    if args.window is not None:
+        extra["window"] = args.window
     for label, x_range, seeds, knobs in SCENARIOS:
+        seeds = args.seeds or seeds
         for coarse in args.coarse:
             rot_errs, t_errs, ok = run_scenario(surf, coarse, x_range,
                                                 seeds, knobs, extra)
+            worst_ok = max([r for r, t in zip(rot_errs, t_errs)
+                            if r < 1.0 and t < 1.5], default=float("nan"))
             cells = " ".join(f"{r:6.2f}d/{t:5.2f}cm"
                              for r, t in zip(rot_errs, t_errs))
-            print(f"{label:<32s} {coarse:<9s} {ok}/{seeds} ok   {cells}",
+            if seeds > 8:   # wide cells: summarize instead of spamming
+                cells = f"worst-ok {worst_ok:.2f}d; fails " + " ".join(
+                    f"s{i}:{r:.0f}d" for i, (r, t) in
+                    enumerate(zip(rot_errs, t_errs))
+                    if not (r < 1.0 and t < 1.5))
+            print(f"{label:<24s} {coarse:<9s} {ok}/{seeds} ok   {cells}",
                   flush=True)
 
 

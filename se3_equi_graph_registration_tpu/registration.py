@@ -64,7 +64,8 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                    icp_mode: str, icp_tau: float, icp_trim: float,
                    icp_voxels: tuple, coarse: str, hypotheses: int,
                    knn_method: str = "approx", solver: str = "quaternion",
-                   window: int = 768):
+                   window: int = 768, knn_packed: bool = False,
+                   ransac_vote: str = "count", ransac_branches: int = 1):
     # ONE k-selection per cloud feeds both the normal estimator (first
     # k_normals columns — top_k/approx_min_k return ascending distances) and
     # the descriptor: the k-NN is the pipeline's dominant cost (measured
@@ -99,9 +100,9 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
             from .ops.pallas.knn_kernel import knn_pallas
             interp = jax.default_backend() != "tpu"
             nbr_src = knn_pallas(src, kk, tile_t=tile, window=win,
-                                 interpret=interp)
+                                 interpret=interp, packed=knn_packed)
             nbr_tgt = knn_pallas(tgt, kk, tile_t=tile, window=win,
-                                 interpret=interp)
+                                 interpret=interp, packed=knn_packed)
         else:
             nbr_src = knn_graph_window(src, kk, tile=tile, window=win)
             nbr_tgt = knn_graph_window(tgt, kk, tile=tile, window=win)
@@ -144,55 +145,94 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
     # only the top-M ORDER matters to the spectral stage
     scores = mutual.astype(jnp.float32) / (1.0 + dist)
 
+    # the coarse stage produces a BRANCH STACK [Br, ...] of pose candidates
+    # (Br = 1 for spectral/fgr/plain ransac); IRLS + ICP refine every branch
+    # in one batched program, and for Br > 1 the winner is picked AFTER
+    # refinement by trimmed NN surface residual — the verified-branch design
+    # (see ransac_pose_branches for why verification must happen at each
+    # branch's own local optimum, not before)
     if coarse == "ransac":
         # multi-hypothesis vote: survives candidate orderings that mislead
         # the single-shot spectral eigenvector at low overlap
-        R, t, w = ransac_pose(src, tgt_corr, scores, key, top_m=top_m,
-                              hypotheses=hypotheses, inlier_tau=sigma,
-                              solver=solver)
+        if ransac_branches > 1:
+            from .ops.ransac import ransac_pose_branches
+            R, t, w = ransac_pose_branches(
+                src, tgt_corr, scores, key, branches=ransac_branches,
+                top_m=top_m, hypotheses=hypotheses, inlier_tau=sigma,
+                solver=solver, vote=ransac_vote)
+        else:
+            R, t, w = ransac_pose(src, tgt_corr, scores, key, top_m=top_m,
+                                  hypotheses=hypotheses, inlier_tau=sigma,
+                                  solver=solver, vote=ransac_vote)
+            R, t, w = R[None], t[None], w[None]
     elif coarse == "fgr":
         # graduated non-convexity on Geman-McClure (ops/fgr) — the
         # open3d-FGR capability; `hypotheses` sizes the tuple-test draw
         R, t, w = fgr_pose(src, tgt_corr, scores, key, top_m=top_m,
                            tuples=hypotheses, delta=sigma, solver=solver)
+        R, t, w = R[None], t[None], w[None]
     elif coarse == "spectral":
         w = spectral_match_weights(src, tgt_corr, scores, top_m=top_m,
                                    sigma=sigma, iters=spectral_iters)
         R, t = kabsch_weighted(src, tgt_corr, w, solver=solver)
+        R, t, w = R[None], t[None], w[None]
     else:
         raise ValueError(f"unknown coarse stage {coarse!r}; "
                          "expected 'spectral', 'ransac', or 'fgr'")
+    br = R.shape[0]
+    src_b = jnp.broadcast_to(src[None], (br,) + src.shape)
+    tgt_b = jnp.broadcast_to(tgt[None], (br,) + tgt.shape)
     if refine_iters > 0:
-        R, t, w = kabsch_irls(src, tgt_corr, w, iters=refine_iters,
-                              solver=solver)
+        R, t, w = kabsch_irls(src_b, jnp.broadcast_to(tgt_corr[None],
+                                                      (br,) + tgt_corr.shape),
+                              w, iters=refine_iters, solver=solver)
     if icp_iters > 0:
         # the raw-cloud fields are already computed above — reuse them in
         # both branches (multiscale applies them only to its 0.0 scale and
         # recomputes at coarser ones; coarse/fine neighborhoods both use
         # k_normals, so the estimators agree between the two branches)
+        def _b(a):
+            return jnp.broadcast_to(a[None], (br,) + a.shape)
         icp_kw = dict(iters=icp_iters, mode=icp_mode, tau=icp_tau,
                       trim=icp_trim, normals_k=k_normals, solver=solver)
         if icp_mode in ("plane", "symmetric"):
-            icp_kw["tgt_normals"] = n_tgt[None]
+            icp_kw["tgt_normals"] = _b(n_tgt)
         if icp_mode == "symmetric":
-            icp_kw["src_normals"] = n_src[None]
+            icp_kw["src_normals"] = _b(n_src)
         if icp_mode == "gicp":
             from .ops.icp import point_covariances
-            icp_kw["src_cov"] = point_covariances(src, normals=n_src)[None]
-            icp_kw["tgt_cov"] = point_covariances(tgt, normals=n_tgt)[None]
+            icp_kw["src_cov"] = _b(point_covariances(src, normals=n_src))
+            icp_kw["tgt_cov"] = _b(point_covariances(tgt, normals=n_tgt))
         if icp_voxels:
             if icp_voxels[-1]:
                 raise ValueError("icp_voxels must end at 0.0 (raw clouds): "
                                  "the final weights pair with the raw source "
                                  f"points for the covariance; got {icp_voxels}")
             from .ops.icp import icp_refine_multiscale
-            R, t, w_icp = icp_refine_multiscale(
-                src[None], tgt[None], R[None], t[None],
-                voxel_sizes=icp_voxels, **icp_kw)
+            R, t, w = icp_refine_multiscale(
+                src_b, tgt_b, R, t, voxel_sizes=icp_voxels, **icp_kw)
         else:
-            R, t, w_icp = icp_refine(src[None], tgt[None], R[None], t[None],
-                                     **icp_kw)
-        R, t, w = R[0], t[0], w_icp[0]   # w: the FINAL (NN-associated) set
+            R, t, w = icp_refine(src_b, tgt_b, R, t, **icp_kw)
+        # w: the FINAL (NN-associated) set
+    if br > 1:
+        # verified selection: trimmed NN mean-square of the full source
+        # against the full target, per refined branch — the measured
+        # discriminator (wrong-cluster optima score 1.4-2.4x higher)
+        vtrim = icp_trim if isinstance(icp_trim, float) and icp_trim > 0 \
+            else 0.35
+        n_keep = max(int(vtrim * src.shape[0]), 1)
+        posed_b = jnp.einsum("bij,nj->bni", R, src) + t[:, None, :]  # [Br,N,3]
+        t2 = jnp.sum(tgt * tgt, axis=-1)                             # [N]
+        d2 = (jnp.sum(posed_b * posed_b, -1)[..., None]
+              - 2.0 * jnp.einsum("bni,mi->bnm", posed_b, tgt)
+              + t2[None, None, :])                                   # [Br,N,M]
+        dmin = jnp.min(d2, axis=-1)                                  # [Br, N]
+        ms = jnp.mean(-jax.lax.top_k(-dmin, n_keep)[0], axis=-1)     # [Br]
+        ib = jnp.argmin(ms)
+        R, t, w = R[ib], t[ib], w[ib]
+    else:
+        R, t, w = R[0], t[0], w[0]
+    if icp_iters > 0:
         posed = src @ R.T + t
         from .ops.icp import nearest_neighbor
         nn, _ = nearest_neighbor(posed, tgt)
@@ -208,7 +248,8 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
 
 _STATIC = ("k_normals", "k_fpfh", "top_m", "spectral_iters", "refine_iters",
            "icp_iters", "icp_mode", "icp_tau", "icp_trim", "icp_voxels",
-           "coarse", "hypotheses", "knn_method", "solver", "window")
+           "coarse", "hypotheses", "knn_method", "solver", "window",
+           "knn_packed", "ransac_vote", "ransac_branches")
 _CORE = jax.jit(_register_core, static_argnames=_STATIC)
 
 
@@ -232,7 +273,8 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                   icp_voxels: tuple = (), coarse: str = "ransac",
                   hypotheses: int = 512, knn_method: str = "approx",
                   solver: str = "quaternion", window: int = 768,
-                  seed: int = 0):
+                  knn_packed: bool = False, ransac_vote: str = "count",
+                  ransac_branches: int = 1, seed: int = 0):
     """Register two raw point clouds with no learned model.
 
     src_pts/tgt_pts: [N, 3] arrays (any N — host-side voxel downsample when
@@ -322,7 +364,9 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                          icp_mode=icp_mode, icp_tau=icp_tau,
                          icp_trim=icp_trim, icp_voxels=tuple(icp_voxels),
                          coarse=coarse, hypotheses=hypotheses,
-                         knn_method=knn_method, solver=solver, window=window)
+                         knn_method=knn_method, solver=solver, window=window,
+                         knn_packed=knn_packed, ransac_vote=ransac_vote,
+                         ransac_branches=ransac_branches)
     info = {"weights": np.asarray(w), "pose_covariance": np.asarray(cov),
             "indices": src_idx}
     return np.asarray(R), np.asarray(t), info
@@ -356,7 +400,8 @@ def export_compiled(path: str, *, batch: int = 1, n_points: int = 2048,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
               coarse="ransac", hypotheses=512, knn_method="approx",
-              solver="quaternion", window=768)
+              solver="quaternion", window=768, knn_packed=False,
+              ransac_vote="count", ransac_branches=1)
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown export_compiled knobs: {sorted(unknown)}")
@@ -415,7 +460,8 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
               coarse="ransac", hypotheses=512, knn_method="approx",
-              solver="quaternion", window=768)
+              solver="quaternion", window=768, knn_packed=False,
+              ransac_vote="count", ransac_branches=1)
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown register_fpfh_batch knobs: {sorted(unknown)}")

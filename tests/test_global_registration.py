@@ -171,6 +171,67 @@ def test_ransac_pose_low_inlier_recovery(rng):
     assert w[80:].sum() <= 5           # and nearly no junk
 
 
+def test_ransac_pose_branches_contains_truth(rng):
+    """ops/ransac.ransac_pose_branches: construct a candidate set where a
+    CONSISTENT wrong-match cluster outvotes the true cluster (60 junk pairs
+    related by a second rigid motion vs 40 true pairs) — the single-winner
+    vote picks the junk pose, but the branch stack must contain BOTH basins
+    so downstream verified selection can recover (registration.py picks by
+    trimmed surface residual after refining each branch)."""
+    import jax
+
+    from se3_equi_graph_registration_tpu.ops.ransac import (
+        ransac_pose, ransac_pose_branches)
+
+    n = 400
+    src = rng.standard_normal((n, 3)).astype(np.float32)
+    R_true = random_rotation(rng).astype(np.float32)
+    t_true = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    R_junk = random_rotation(rng).astype(np.float32)
+    t_junk = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = src @ R_true.T + t_true
+    tgt[80:200] = src[80:200] @ R_junk.T + t_junk       # bigger junk cluster
+    tgt[200:] = rng.standard_normal((n - 200, 3)).astype(np.float32) * 2
+    scores = np.ones(n, np.float32)
+
+    kw = dict(hypotheses=1024, top_m=400, inlier_tau=0.05)
+    Rh, th, _ = ransac_pose(jnp.asarray(src), jnp.asarray(tgt),
+                            jnp.asarray(scores), jax.random.PRNGKey(0), **kw)
+    assert _rot_deg(np.asarray(Rh), R_junk) < 0.5       # vote picks junk
+
+    Rb, tb, wb = ransac_pose_branches(jnp.asarray(src), jnp.asarray(tgt),
+                                      jnp.asarray(scores),
+                                      jax.random.PRNGKey(0), branches=4, **kw)
+    assert Rb.shape == (4, 3, 3) and tb.shape == (4, 3) and wb.shape == (4, n)
+    errs_true = [_rot_deg(np.asarray(Rb[i]), R_true) for i in range(4)]
+    errs_junk = [_rot_deg(np.asarray(Rb[i]), R_junk) for i in range(4)]
+    assert errs_junk[0] < 0.5                            # branch 0 = junk
+    assert min(errs_true) < 0.5, errs_true               # truth is in the stack
+    # and the true branch's mask finds the true cluster
+    i_true = int(np.argmin(errs_true))
+    w_true = np.asarray(wb[i_true])
+    assert w_true[:80].sum() >= 70
+    assert w_true[80:200].sum() <= 5
+
+
+def test_register_fpfh_branches_recovers_outvoted_truth(bumpy):
+    """End-to-end verified branch selection: at 40% overlap some seeds flip
+    to a consistent wrong-match cluster; ransac_branches=4 must keep the
+    quality of the winning seed-0 draw (a regression canary for the
+    branch-stack refactor of _register_core, not a statistics claim — the
+    20-seed table in BASELINE.md carries those)."""
+    rng = np.random.default_rng(0)
+    src = bumpy(rng, 1024, -1.0, 1.0)
+    R = random_rotation(rng).astype(np.float32)
+    t = (rng.standard_normal(3) * 0.3).astype(np.float32)
+    tgt = bumpy(rng, 1024, 0.2, 2.2) @ R.T + t
+
+    Rh, th, _ = register_fpfh(src, tgt, n_points=1024, top_m=256,
+                              icp_trim=0.35, icp_iters=20, ransac_branches=4)
+    assert _rot_deg(Rh, R) < 1.0, _rot_deg(Rh, R)
+    assert np.linalg.norm(th - t) < 1.5e-2
+
+
 def test_register_fpfh_ragged_inputs(bumpy):
     """Arbitrary input sizes sample/pad to the compiled n_points (the
     Registrar contract) and still register."""
