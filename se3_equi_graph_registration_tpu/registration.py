@@ -58,6 +58,34 @@ def match_features(src_feat: Array, tgt_feat: Array
     return j_of_i, mutual, dist
 
 
+def _branch_verify_ms(R: Array, t: Array, src: Array, tgt: Array,
+                      n_keep: int) -> Array:
+    """Trimmed NN mean-square of src under each branch pose vs tgt.
+
+    R [Br, 3, 3], t [Br, 3], src [N, 3], tgt [M, 3] → [Br]: per branch, the
+    mean of the n_keep smallest squared NN distances of the posed source.
+    The measured wrong-cluster discriminator (registration branch selection:
+    wrong-basin ICP optima score 1.5-9x higher; correct branches agree
+    within ~1%). Both contractions MUST run at Precision.HIGHEST: the
+    ‖p‖² − 2p·y + ‖y‖² cancellation leaves a ~1e-3 signal and a
+    DEFAULT-precision TPU matmul (bf16-rounded operands) injects ~4e-3 of
+    noise — measured to flip the branch pick on MOST 40%-overlap seeds
+    while every CPU test stays green (the banded-FPFH bug class; jaxpr
+    pinned by tests/test_global_registration.py::
+    test_branch_verify_requests_fp32). Selection-type consumers (k-NN, NN
+    association) tolerate default precision — all candidates are equally
+    noisy — but here the absolute values ARE the answer.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    posed = jnp.einsum("bij,nj->bni", R, src, precision=hi) + t[:, None, :]
+    t2 = jnp.sum(tgt * tgt, axis=-1)                             # [M]
+    d2 = (jnp.sum(posed * posed, -1)[..., None]
+          - 2.0 * jnp.einsum("bni,mi->bnm", posed, tgt, precision=hi)
+          + t2[None, None, :])                                   # [Br,N,M]
+    dmin = jnp.min(d2, axis=-1)                                  # [Br, N]
+    return jnp.mean(-jax.lax.top_k(-dmin, n_keep)[0], axis=-1)   # [Br]
+
+
 def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                    k_fpfh: int, top_m: int, sigma: float,
                    spectral_iters: int, refine_iters: int, icp_iters: int,
@@ -215,19 +243,12 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
             R, t, w = icp_refine(src_b, tgt_b, R, t, **icp_kw)
         # w: the FINAL (NN-associated) set
     if br > 1:
-        # verified selection: trimmed NN mean-square of the full source
-        # against the full target, per refined branch — the measured
-        # discriminator (wrong-cluster optima score 1.4-2.4x higher)
+        # verified selection: trimmed NN surface residual of every REFINED
+        # branch (see _branch_verify_ms — fp32-pinned by test)
         vtrim = icp_trim if isinstance(icp_trim, float) and icp_trim > 0 \
             else 0.35
         n_keep = max(int(vtrim * src.shape[0]), 1)
-        posed_b = jnp.einsum("bij,nj->bni", R, src) + t[:, None, :]  # [Br,N,3]
-        t2 = jnp.sum(tgt * tgt, axis=-1)                             # [N]
-        d2 = (jnp.sum(posed_b * posed_b, -1)[..., None]
-              - 2.0 * jnp.einsum("bni,mi->bnm", posed_b, tgt)
-              + t2[None, None, :])                                   # [Br,N,M]
-        dmin = jnp.min(d2, axis=-1)                                  # [Br, N]
-        ms = jnp.mean(-jax.lax.top_k(-dmin, n_keep)[0], axis=-1)     # [Br]
+        ms = _branch_verify_ms(R, t, src, tgt, n_keep)               # [Br]
         ib = jnp.argmin(ms)
         R, t, w = R[ib], t[ib], w[ib]
     else:

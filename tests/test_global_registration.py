@@ -232,6 +232,33 @@ def test_register_fpfh_branches_recovers_outvoted_truth(bumpy):
     assert np.linalg.norm(th - t) < 1.5e-2
 
 
+def test_branch_verify_requests_fp32():
+    """The branch-verification distance expansion (_branch_verify_ms) must
+    request Precision.HIGHEST on BOTH contractions: the ‖p‖² − 2p·y + ‖y‖²
+    cancellation leaves a ~1e-3 trimmed-MS signal and a DEFAULT-precision
+    TPU matmul (bf16-rounded operands) injects ~4e-3 of noise — measured to
+    flip the verified-branch pick on most 40%-overlap seeds while every CPU
+    value test stays green (same bug class as the banded-FPFH matmuls,
+    tests/test_fpfh.py::test_window_banded_matmuls_request_fp32). CPU
+    executes fp32 at either setting, so this pins the JAXPR."""
+    import jax
+
+    from se3_equi_graph_registration_tpu.registration import _branch_verify_ms
+
+    R = jnp.zeros((4, 3, 3), jnp.float32)
+    t = jnp.zeros((4, 3), jnp.float32)
+    src = jnp.zeros((256, 3), jnp.float32)
+    tgt = jnp.zeros((256, 3), jnp.float32)
+    jx = jax.make_jaxpr(lambda *a: _branch_verify_ms(*a, n_keep=64))(
+        R, t, src, tgt)
+
+    precs = [eqn.params.get("precision") for eqn in jx.jaxpr.eqns
+             if eqn.primitive.name == "dot_general"]
+    assert len(precs) >= 2, "verification contractions changed shape?"
+    hi = jax.lax.Precision.HIGHEST
+    assert all(p == (hi, hi) for p in precs), precs
+
+
 def test_register_fpfh_ragged_inputs(bumpy):
     """Arbitrary input sizes sample/pad to the compiled n_points (the
     Registrar contract) and still register."""
