@@ -131,7 +131,8 @@ def bench_train(batch_sizes=(16, 64), n=2048, k=16, c=32, iters=20,
 
 
 def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False,
-                 knn_method="approx", window=512, knn_packed=False):
+                 knn_method="approx", window=512, knn_packed=False,
+                 ransac_branches=1):
     """Checkpoint-free global registration (registration._register_core,
     vmapped over the pair axis): FPFH + mutual matching + RANSAC + IRLS +
     trimmed plane ICP, one jitted program. knn_method='window' swaps the
@@ -146,7 +147,8 @@ def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False,
               spectral_iters=12, refine_iters=5, icp_iters=10,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0,
               icp_voxels=(), coarse="ransac", hypotheses=512,
-              knn_method=knn_method, window=window, knn_packed=knn_packed)
+              knn_method=knn_method, window=window, knn_packed=knn_packed,
+              ransac_branches=ransac_branches)
 
     best, best_b = 0.0, None
     rng = np.random.default_rng(0)
@@ -184,7 +186,7 @@ def bench_global(batch_sizes=(1, 8, 32), n=2048, iters=20, verbose=False,
 
 
 def bench_global_stages(b=1, n=2048, iters=20, knn_method="approx",
-                        solver="quaternion", window=512):
+                        solver="quaternion", window=512, knn_packed=False):
     """Per-stage attribution of the checkpoint-free global-registration
     pipeline (VERDICT r3 weak #1), by CUMULATIVE PREFIX: the pipeline is
     truncated after each stage and timed whole (carry-chained), so each
@@ -229,9 +231,9 @@ def bench_global_stages(b=1, n=2048, iters=20, knn_method="approx",
                     from se3_equi_graph_registration_tpu.ops.pallas.knn_kernel import knn_pallas
                     interp = jax.default_backend() != "tpu"
                     nbr_s = knn_pallas(x, min(60, n), tile_t=128, window=win,
-                                       interpret=interp)
+                                       interpret=interp, packed=knn_packed)
                     nbr_t = knn_pallas(y, min(60, n), tile_t=128, window=win,
-                                       interpret=interp)
+                                       interpret=interp, packed=knn_packed)
                 else:
                     nbr_s = knn_graph_window(x, min(60, n), window=win)
                     nbr_t = knn_graph_window(y, min(60, n), window=win)
@@ -349,6 +351,13 @@ def main():
     ap.add_argument("--window", type=int, default=512,
                     help="with --global-reg --knn window/fused: Hilbert "
                          "window width (multiple of 128)")
+    ap.add_argument("--knn-packed", action="store_true",
+                    help="with --global-reg --knn fused: packed int32 "
+                         "(distance, lane) extraction keys in the k-NN "
+                         "kernel (window <= 1024)")
+    ap.add_argument("--branches", type=int, default=1,
+                    help="with --global-reg: verified multi-branch RANSAC "
+                         "(registration ransac_branches)")
     ap.add_argument("--solver", default="quaternion",
                     choices=("quaternion", "svd"),
                     help="with --global-reg --stages: Kabsch solver for "
@@ -361,14 +370,17 @@ def main():
     if args.global_reg and args.stages:
         res = bench_global_stages(b=(args.batches or [1])[0], n=args.n,
                                   iters=args.iters, knn_method=args.knn,
-                                  solver=args.solver, window=args.window)
+                                  solver=args.solver, window=args.window,
+                                  knn_packed=args.knn_packed)
         print(json.dumps({k: round(v, 3) for k, v in res.items()}))
         return
     if args.global_reg:
         value, _ = bench_global(batch_sizes=tuple(args.batches or (1, 8, 32)),
                                 n=args.n, iters=args.iters,
                                 verbose=args.verbose, knn_method=args.knn,
-                                window=args.window)
+                                window=args.window,
+                                knn_packed=args.knn_packed,
+                                ransac_branches=args.branches)
         print(json.dumps({
             "metric": f"global_registration_pairs_per_sec_{args.n}pts_single_chip",
             "value": round(value, 2),

@@ -104,6 +104,8 @@ def main():
                     help="override ransac_branches (default: register_fpfh's)")
     ap.add_argument("--window", type=int, default=None,
                     help="override the Hilbert window size")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed k-NN extraction keys (knn fused only)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -120,6 +122,8 @@ def main():
         extra["ransac_branches"] = args.branches
     if args.window is not None:
         extra["window"] = args.window
+    if args.packed:
+        extra["knn_packed"] = True
     for label, x_range, seeds, knobs in SCENARIOS:
         seeds = args.seeds or seeds
         for coarse in args.coarse:

@@ -218,6 +218,27 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
         s = 1.4826 * jnp.median(jnp.abs(resid - med), axis=-1, keepdims=True)
         return w0 * kfn(resid / jnp.maximum(s, min_sigma))
 
+    # trust-region radius for GN translation steps: the target's bounding
+    # radius (see _guard_step). Computed once, outside the scan.
+    t_scale = 2.0 * jnp.sqrt(jnp.max(jnp.sum(
+        (tgtf - jnp.mean(tgtf, axis=-2, keepdims=True)) ** 2, axis=-1),
+        axis=-1))                                              # [...]
+
+    def _guard_step(delta):
+        """Reject Gauss-Newton steps the quadratic model cannot justify:
+        non-finite entries, a rotation step over pi, or a translation step
+        beyond 2x the target's bounding radius (the damped system can still
+        emit a near-null-space step of ~1/damp magnitude when the weighted
+        points are collinear — one such step overflows the fp32 positions,
+        the next NN pass reads inf, and every later iteration is NaN;
+        observed on TPU with a junk branch pose under verified multi-branch
+        selection). A rejected step solves to delta = 0, keeping the pose —
+        the same semantics as an all-rejected iteration."""
+        ok = (jnp.all(jnp.isfinite(delta), axis=-1)
+              & (jnp.sum(delta[..., :3] ** 2, axis=-1) < jnp.pi ** 2)
+              & (jnp.sum(delta[..., 3:] ** 2, axis=-1) < t_scale ** 2))
+        return jnp.where(ok[..., None], delta, 0.0)
+
     def body(carry, _):
         R_, t_ = carry
         x = jnp.einsum("...ij,...nj->...ni", R_, srcf) + t_[..., None, :]
@@ -246,7 +267,7 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
             g = jnp.einsum("...n,...nai,...nab,...nb->...i", w, J, Minv, r0)
             damp = (1e-8 * jnp.trace(H, axis1=-2, axis2=-1) / 6.0 + 1e-12)
             H = H + damp[..., None, None] * jnp.eye(6, dtype=H.dtype)
-            delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+            delta = _guard_step(-jnp.linalg.solve(H, g[..., None])[..., 0])
             Rd = matrix_exp_so3(delta[..., :3])
             R2 = Rd @ R_
             t2 = jnp.einsum("...ij,...j->...i", Rd, t_) + delta[..., 3:]
@@ -271,7 +292,7 @@ def icp_refine(src: Array, tgt: Array, R: Array, t: Array, iters: int = 10,
             # neighborhood) solve to delta = 0, keeping the pose
             damp = 1e-8 * jnp.trace(A, axis1=-2, axis2=-1) / 6.0 + 1e-12
             A = A + damp[..., None, None] * jnp.eye(6, dtype=A.dtype)
-            delta = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+            delta = _guard_step(jnp.linalg.solve(A, rhs[..., None])[..., 0])
             Rd = matrix_exp_so3(delta[..., :3])
             R2 = Rd @ R_
             t2 = (jnp.einsum("...ij,...j->...i", Rd, t_)

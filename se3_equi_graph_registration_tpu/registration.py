@@ -249,6 +249,9 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
             else 0.35
         n_keep = max(int(vtrim * src.shape[0]), 1)
         ms = _branch_verify_ms(R, t, src, tgt, n_keep)               # [Br]
+        # a branch whose refinement degenerated must never win the argmin
+        # (NaN compares as the minimum there)
+        ms = jnp.where(jnp.isfinite(ms), ms, jnp.inf)
         ib = jnp.argmin(ms)
         R, t, w = R[ib], t[ib], w[ib]
     else:

@@ -376,3 +376,32 @@ def test_point_covariances_reuse_normals(rng):
     C_direct = np.asarray(icp.point_covariances(jnp.asarray(src), k=12))
     C_reused = np.asarray(icp.point_covariances(jnp.asarray(src), normals=n))
     np.testing.assert_allclose(C_direct, C_reused, atol=1e-6)
+
+
+def test_icp_plane_gn_step_guard_keeps_finite(rng):
+    """Degenerate plane-mode system: every target normal identical (the
+    weighted 6x6 is rank-deficient, damped only by the ~1e-8-scale Tikhonov
+    term) and a far-off start. The unguarded GN solve emits a ~1/damp
+    near-null-space step; one such step overflows the fp32 positions, the
+    next NN pass reads inf, and every later iteration is NaN (observed on
+    TPU with a junk branch pose under verified multi-branch selection —
+    ops/icp._guard_step docstring). The guard must keep every iterate
+    finite, with rotation/translation steps inside the trust region."""
+    n = 256
+    src = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    src[:, 2] = 0.0
+    tgt = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    tgt[:, 2] = 0.0
+    normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    R0 = np.eye(3, dtype=np.float32)
+    t0 = np.array([50.0, -30.0, 20.0], np.float32)   # far-off junk start
+
+    for iters in (1, 5, 20):
+        R, t, w = icp.icp_refine(jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                                 jnp.asarray(R0)[None], jnp.asarray(t0)[None],
+                                 iters=iters, mode="plane", trim=0.35,
+                                 tgt_normals=jnp.asarray(normals)[None])
+        assert np.isfinite(np.asarray(R)).all(), iters
+        assert np.isfinite(np.asarray(t)).all(), iters
+        # the translation can move at most ~iters * trust radius
+        assert np.linalg.norm(np.asarray(t)) < np.linalg.norm(t0) + iters * 8.0
