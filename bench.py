@@ -420,10 +420,20 @@ def main():
         train_v, _ = bench_train(batch_sizes=(64,), n=args.n, k=args.k,
                                  iters=args.iters, verbose=args.verbose)
         out["train_pairs_per_sec"] = round(train_v, 1)
+        # shipped defaults (fused+packed descriptor kernels, verified
+        # 4-branch RANSAC) and the branches=1 speed mode — the robust
+        # default trades ~23% for the measured 20-seed low-overlap wins
+        # (BASELINE.md scenario table)
         glob_v, _ = bench_global(batch_sizes=(1,), n=args.n,
                                  iters=args.iters, verbose=args.verbose,
-                                 knn_method="fused", window=512)
+                                 knn_method="fused", window=768,
+                                 knn_packed=True, ransac_branches=4)
         out["global_reg_pairs_per_sec"] = round(glob_v, 2)
+        glob_s, _ = bench_global(batch_sizes=(1,), n=args.n,
+                                 iters=args.iters, verbose=args.verbose,
+                                 knn_method="fused", window=768,
+                                 knn_packed=True, ransac_branches=1)
+        out["global_reg_speed_mode_pairs_per_sec"] = round(glob_s, 2)
     print(json.dumps(out))
 
 

@@ -93,7 +93,7 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
                    icp_voxels: tuple, coarse: str, hypotheses: int,
                    knn_method: str = "approx", solver: str = "quaternion",
                    window: int = 768, knn_packed: bool = False,
-                   ransac_vote: str = "count", ransac_branches: int = 1):
+                   ransac_vote: str = "count", ransac_branches: int = 4):
     # ONE k-selection per cloud feeds both the normal estimator (first
     # k_normals columns — top_k/approx_min_k return ascending distances) and
     # the descriptor: the k-NN is the pipeline's dominant cost (measured
@@ -298,7 +298,7 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                   hypotheses: int = 512, knn_method: str = "approx",
                   solver: str = "quaternion", window: int = 768,
                   knn_packed: bool = False, ransac_vote: str = "count",
-                  ransac_branches: int = 1, seed: int = 0):
+                  ransac_branches: int = 4, seed: int = 0):
     """Register two raw point clouds with no learned model.
 
     src_pts/tgt_pts: [N, 3] arrays (any N — host-side voxel downsample when
@@ -310,24 +310,41 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     is the default because the two clouds sample the surface independently.
 
     `coarse` picks the hypothesis stage: 'ransac' (default — fixed-shape
-    multi-hypothesis voting, ops/ransac.py; measured 5/5 seeds correct at
-    40% overlap where the single-shot eigenvector failed 5/5, and equal at
-    high overlap) or 'spectral' (ops/spectral.py — deterministic, no RNG;
-    the right pick when putative matches are dense and mostly right, e.g.
-    the learned head's correspondences) or 'fgr' (ops/fgr.py — graduated
+    multi-hypothesis voting, ops/ransac.py; 20-seed scenario suite: 16-20/20
+    at 40% overlap where spectral scores 6/20 and fgr 5/20, equal at high
+    overlap) or 'spectral' (ops/spectral.py — deterministic, no RNG; the
+    right pick when putative matches are dense and mostly right, e.g. the
+    learned head's correspondences) or 'fgr' (ops/fgr.py — graduated
     non-convexity with a tuple test, the open3d
     registration_fgr_based_on_feature_matching capability; `hypotheses`
-    sizes its tuple draw and `sigma` is its Geman-McClure scale floor).
-    Measured on the BASELINE.md scenario suite (examples/scenario_table.py):
-    fgr matches ransac/spectral at >=60% overlap (3/3, <=0.3 deg) but
-    degrades like spectral below it (2/5 at 40% — GNC reweights ALL
-    correspondences smoothly, so at ~1-2% inlier rate the surrogate anneals
-    onto the outlier majority; the multi-hypothesis vote only needs one
-    all-inlier triplet).
+    sizes its tuple draw and `sigma` is its Geman-McClure scale floor; GNC
+    reweights ALL correspondences smoothly, so at low inlier rates the
+    surrogate anneals onto the outlier majority — the multi-hypothesis vote
+    only needs one all-inlier triplet).
     For low-overlap pairs also set
     `icp_trim` — either the overlap fraction if known, or 'auto'
     (Chetverikov TrICP objective — estimates the overlap itself each
-    iteration; measured 0.17-0.50° at 40% overlap with no tuning).
+    iteration; measured within ~1 deg of the known-fraction setting on the
+    20-seed 40%-overlap suite).
+
+    `ransac_branches` (default 4) is VERIFIED multi-branch selection, the
+    robustness-by-default answer to the low-overlap failure mode where a
+    consistent cluster of wrong matches — descriptor look-alike patches
+    related by a rigid motion — outvotes the true cluster. The top-B vote
+    winners that are mutually distinct as poses (inlier-set-overlap NMS,
+    ops/ransac.ransac_pose_branches) are ALL refined through IRLS + trimmed
+    ICP in one batched program, and the branch with the smallest trimmed NN
+    surface residual wins (_branch_verify_ms; verification must happen at
+    each branch's own local optimum — scoring unrefined poses inverts the
+    decision, measured). 20-seed 40%-overlap suite: 16/20 under the fast
+    fused config and 19/20 under exact CPU knobs, vs 9-16/20 at
+    branches=1 depending on knn_method — and the chaotic per-seed flips
+    near the vote tie disappear, because the answer no longer rides a
+    single argmax. Cost: the branch stack multiplies only the IRLS/ICP
+    tail (~-23% throughput at the fused default). Set ransac_branches=1
+    for the pure-speed mode. `ransac_vote` ('count' | 'msac') picks the
+    hypothesis gain; 'msac' weighs cluster tightness (truncated
+    quadratic) — measured within noise of 'count' on the 20-seed suite.
 
     `knn_method`/`solver` are the measured fast defaults (BASELINE.md
     global-reg attribution): 'approx' = TPU-native approx_min_k for the
@@ -348,11 +365,7 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     invariant lets the SPFH neighbor accumulation ride the MXU as a banded
     adjacency matmul (ops/fpfh._accumulate_window). Neighbor recall at
     k=60 is ~0.89/0.93/0.96 at W=512/768/1024 on the scenario surfaces
-    (vs ~0.95 for 'approx'); measured same-process on the real chip the
-    end-to-end pipeline is ~9% faster at W=512 and the scenario table
-    holds 3/3 at >=60% overlap, but near-boundary 40%-overlap seeds flip
-    more often than under 'approx' (BASELINE.md) — prefer 'approx' for
-    low-overlap pairs.
+    (vs ~0.95 for 'approx').
 
     knn_method='fused' keeps the same window structure but runs the WHOLE
     descriptor stage in Pallas kernels: exact-within-window k-NN sweeps
@@ -360,10 +373,14 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     (fpfh.estimate_normals_window), and the fused SPFH Darboux/histogram
     kernel (ops/pallas/spfh_kernel) — no [N, K, .] row gathers anywhere
     (the measured bound of the 'approx' descriptor stage, BASELINE.md
-    attribution). Measured same-process on the real chip at N=2048:
-    4.20 ms vs 6.05 ms under 'approx' (238 vs 165 pairs/s, 1.44x), with
-    the same scenario quality as 'window' (3/3 at >=60% overlap;
-    near-boundary 40% seeds flip — same guidance as above). The banded
+    attribution). `knn_packed=True` additionally packs (distance, lane)
+    into one int32 extraction key inside the k-NN kernel so each of the
+    k=60 sweeps is a single min-reduction (window <= 1024; near-ties
+    within ~2^-13 relative d² may swap — FPFH histograms don't care).
+    Measured same-process on the real chip at N=2048 (BASELINE.md):
+    fused+packed W=768 is 252 pairs/s at ransac_branches=1 and 195 at the
+    robust default, vs 'approx' at 169; the 20-seed scenario table matches
+    'approx' at every overlap under the default branches. The banded
     contractions REQUIRE Precision.HIGHEST: at the TPU default (bf16
     operands) the moment cancellation inside the normals collapsed to
     garbage, measured as 1/3 at 60% overlap — pinned by
@@ -425,7 +442,7 @@ def export_compiled(path: str, *, batch: int = 1, n_points: int = 2048,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
               coarse="ransac", hypotheses=512, knn_method="approx",
               solver="quaternion", window=768, knn_packed=False,
-              ransac_vote="count", ransac_branches=1)
+              ransac_vote="count", ransac_branches=4)
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown export_compiled knobs: {sorted(unknown)}")
@@ -485,7 +502,7 @@ def register_fpfh_batch(src_pts, tgt_pts, *, seed: int = 0, mesh=None,
               icp_mode="plane", icp_tau=0.0, icp_trim=0.0, icp_voxels=(),
               coarse="ransac", hypotheses=512, knn_method="approx",
               solver="quaternion", window=768, knn_packed=False,
-              ransac_vote="count", ransac_branches=1)
+              ransac_vote="count", ransac_branches=4)
     unknown = set(knobs) - set(kw)
     if unknown:
         raise TypeError(f"unknown register_fpfh_batch knobs: {sorted(unknown)}")
