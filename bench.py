@@ -230,10 +230,12 @@ def bench_global_stages(b=1, n=2048, iters=20, knn_method="approx",
                 if knn_method == "fused":
                     from se3_equi_graph_registration_tpu.ops.pallas.knn_kernel import knn_pallas
                     interp = jax.default_backend() != "tpu"
+                    pk = dict(packed=bool(knn_packed),
+                              chunked=knn_packed == "chunked")
                     nbr_s = knn_pallas(x, min(60, n), tile_t=128, window=win,
-                                       interpret=interp, packed=knn_packed)
+                                       interpret=interp, **pk)
                     nbr_t = knn_pallas(y, min(60, n), tile_t=128, window=win,
-                                       interpret=interp, packed=knn_packed)
+                                       interpret=interp, **pk)
                 else:
                     nbr_s = knn_graph_window(x, min(60, n), window=win)
                     nbr_t = knn_graph_window(y, min(60, n), window=win)
@@ -351,10 +353,12 @@ def main():
     ap.add_argument("--window", type=int, default=512,
                     help="with --global-reg --knn window/fused: Hilbert "
                          "window width (multiple of 128)")
-    ap.add_argument("--knn-packed", action="store_true",
+    ap.add_argument("--knn-packed", nargs="?", const=True, default=False,
+                    type=lambda v: v if v == "chunked" else bool(v),
                     help="with --global-reg --knn fused: packed int32 "
                          "(distance, lane) extraction keys in the k-NN "
-                         "kernel (window <= 1024)")
+                         "kernel (window <= 1024); pass 'chunked' for the "
+                         "two-level interleaved-chunk extraction")
     ap.add_argument("--branches", type=int, default=1,
                     help="with --global-reg: verified multi-branch RANSAC "
                          "(registration ransac_branches)")

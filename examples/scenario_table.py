@@ -104,8 +104,10 @@ def main():
                     help="override ransac_branches (default: register_fpfh's)")
     ap.add_argument("--window", type=int, default=None,
                     help="override the Hilbert window size")
-    ap.add_argument("--packed", action="store_true",
-                    help="packed k-NN extraction keys (knn fused only)")
+    ap.add_argument("--packed", nargs="?", const=True, default=False,
+                    type=lambda v: v if v == "chunked" else bool(v),
+                    help="packed k-NN extraction keys (knn fused only); "
+                         "pass 'chunked' for two-level extraction")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -123,7 +125,7 @@ def main():
     if args.window is not None:
         extra["window"] = args.window
     if args.packed:
-        extra["knn_packed"] = True
+        extra["knn_packed"] = args.packed
     for label, x_range, seeds, knobs in SCENARIOS:
         seeds = args.seeds or seeds
         for coarse in args.coarse:

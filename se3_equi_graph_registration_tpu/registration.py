@@ -124,13 +124,17 @@ def _register_core(src: Array, tgt: Array, key: Array, k_normals: int,
         _, tgt, _ = sort_by_curve(empty, tgt)
         if knn_method == "fused":
             # exact-within-window sweeps fused in Pallas (matches
-            # knn_graph_window bit-for-bit at the same tile/window)
+            # knn_graph_window bit-for-bit at the same tile/window);
+            # knn_packed: False | True | 'chunked' (two-level extraction —
+            # the measured fast default, see knn_pallas)
             from .ops.pallas.knn_kernel import knn_pallas
             interp = jax.default_backend() != "tpu"
+            pk = dict(packed=bool(knn_packed),
+                      chunked=knn_packed == "chunked")
             nbr_src = knn_pallas(src, kk, tile_t=tile, window=win,
-                                 interpret=interp, packed=knn_packed)
+                                 interpret=interp, **pk)
             nbr_tgt = knn_pallas(tgt, kk, tile_t=tile, window=win,
-                                 interpret=interp, packed=knn_packed)
+                                 interpret=interp, **pk)
         else:
             nbr_src = knn_graph_window(src, kk, tile=tile, window=win)
             nbr_tgt = knn_graph_window(tgt, kk, tile=tile, window=win)
@@ -297,7 +301,7 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
                   icp_voxels: tuple = (), coarse: str = "ransac",
                   hypotheses: int = 512, knn_method: str = "approx",
                   solver: str = "quaternion", window: int = 768,
-                  knn_packed: bool = False, ransac_vote: str = "count",
+                  knn_packed: bool | str = False, ransac_vote: str = "count",
                   ransac_branches: int = 4, seed: int = 0):
     """Register two raw point clouds with no learned model.
 

@@ -39,9 +39,17 @@ def flatten_named(tree, prefix=""):
     return out
 
 
-def grad_table(n=2048, batch=8, k=16, c=32, seed=0, ckpt=None):
+def grad_table(n=2048, batch=8, k=16, c=32, seed=0, ckpt=None,
+               fast_overrides=None):
     """Returns (rows, fast_cfg, acc_cfg): rows = [(name, cosine, rel_l2)]
-    sorted worst-cosine-first."""
+    sorted worst-cosine-first.
+
+    fast_overrides: extra EngineConfig fields for the FAST side only — e.g.
+    ``{"knn_packed": False}`` isolates kernel NUMERICS from extraction-key
+    tie churn (packed near-tie swaps change the GRAPH between the two
+    programs; a handful of swapped edges moves small-tensor gradient
+    cosines far more than any bf16 rounding — measured in BASELINE.md's
+    budget table)."""
     import jax
 
     from se3_equi_graph_registration_tpu.data.synthetic import make_pair_batch
@@ -55,7 +63,8 @@ def grad_table(n=2048, batch=8, k=16, c=32, seed=0, ckpt=None):
          pb.tgt_feat, pb.gt_pose))
 
     fast_cfg = engine.fast_tpu_config(num_nodes=n, k=k, in_node_nf=c,
-                                      hidden_nf=32, top_k=128)
+                                      hidden_nf=32, top_k=128,
+                                      **(fast_overrides or {}))
     # accurate twin: same window-graph structure, 3-pass ~fp32 kernels, exact
     # gathers (no bf16 one-hot permutes), exact extraction keys
     acc_cfg = engine.fast_tpu_config(num_nodes=n, k=k, in_node_nf=c,
@@ -110,6 +119,10 @@ def main(argv=None):
                     default="/root/reference/checkpoints/checkpoint-3dmatch.pth")
     ap.add_argument("--random-init", action="store_true",
                     help="random-init params instead of the converted ckpt")
+    ap.add_argument("--same-graph", action="store_true",
+                    help="fast side uses exact extraction keys "
+                         "(knn_packed=False): isolates kernel numerics "
+                         "from packed-key tie churn in the graph")
     args = ap.parse_args(argv)
 
     import jax
@@ -118,7 +131,9 @@ def main(argv=None):
               "settings, so this run measures nothing", file=sys.stderr)
 
     rows, _, _ = grad_table(n=args.n, batch=args.batch,
-                            ckpt=None if args.random_init else args.ckpt)
+                            ckpt=None if args.random_init else args.ckpt,
+                            fast_overrides=({"knn_packed": False}
+                                            if args.same_graph else None))
     print(f"{'tensor':<48s} {'cosine':>10s} {'rel L2':>10s}")
     for name, cos, rel in rows:
         print(f"{name:<48s} {cos:10.7f} {rel:10.2e}")

@@ -60,6 +60,7 @@ _SLOW_MODULES = {
     "test_dense_scaling.py",     # 8K-32K windowed-graph steps
     "test_examples.py",          # full example scripts
     "test_global_registration.py",  # multi-seed FPFH pipelines
+    "test_grad_budget.py",       # interpret-mode fast+accurate grad twins
     "test_graft_entry.py",       # driver dryrun incl. 8-device mesh step
     "test_loss_parity.py",       # imports the reference train module (torch)
     "test_multiprocess.py",      # 2-process jax.distributed subprocess runs

@@ -67,7 +67,9 @@ def test_main_default_carries_all_three_throughputs(bench_mod, capsys,
     assert len(out) == 1
     rec = json.loads(out[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline",
-                        "train_pairs_per_sec", "global_reg_pairs_per_sec"}
+                        "train_pairs_per_sec", "global_reg_pairs_per_sec",
+                        "global_reg_speed_mode_pairs_per_sec"}
     assert rec["value"] > 0
     assert rec["train_pairs_per_sec"] > 0
     assert rec["global_reg_pairs_per_sec"] > 0
+    assert rec["global_reg_speed_mode_pairs_per_sec"] > 0

@@ -72,6 +72,55 @@ def test_packed_window_mode_matches_exact_up_to_near_ties(rng):
     assert diff_rows <= n * 0.05, f"{diff_rows} rows differ"
 
 
+def test_chunked_two_level_matches_packed(rng):
+    """Two-level interleaved-chunk extraction (chunked=True): same key space
+    as packed mode, so the neighbor sets must agree except where one residue
+    class mod C holds more than S_pc of the true top-k — require >= 99% row
+    agreement and, for disagreeing rows, that the symmetric difference is
+    confined to the far tail (every swapped candidate's rank must be within
+    the shortlist's blind spot, i.e. beyond the first k/2 neighbors)."""
+    from se3_equi_graph_registration_tpu.ops import morton
+
+    n, tile = 512, 128
+    x = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    x = x.at[:, 2].multiply(0.2)         # surface-like (the target regime)
+    xs = jnp.take_along_axis(x, morton.morton_perm(x)[..., None], axis=0)
+    for k, window in ((16, 256), (60, 512)):
+        packed = np.asarray(knn_pallas(xs, k, tile_t=tile, window=window,
+                                       packed=True, interpret=True))
+        chunked = np.asarray(knn_pallas(xs, k, tile_t=tile, window=window,
+                                        packed=True, chunked=True,
+                                        interpret=True))
+        assert chunked.shape == (n, k)
+        diff_rows = 0
+        for r in range(n):
+            sp, sc = set(packed[r]), set(chunked[r])
+            if sp == sc:
+                # ascending extraction order must match packed exactly when
+                # the sets agree (same key space, same global order)
+                assert list(packed[r]) == list(chunked[r]), r
+                continue
+            diff_rows += 1
+            swapped = sp ^ sc
+            ranks = {int(j): c for c, j in enumerate(packed[r])}
+            assert all(ranks.get(int(j), k) >= k // 2 for j in swapped), \
+                (r, swapped)
+        assert diff_rows <= n * 0.01, f"{diff_rows} rows differ at k={k}"
+
+
+def test_chunked_register_fpfh_smoke(rng):
+    """knn_packed='chunked' flows through register_fpfh end to end."""
+    from se3_equi_graph_registration_tpu.registration import register_fpfh
+
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    pts[:, 2] *= 0.2
+    R_, t_, info = register_fpfh(pts, pts.copy(), n_points=256, window=256,
+                                 knn_method="fused", knn_packed="chunked",
+                                 ransac_branches=1)
+    assert np.allclose(R_ @ R_.T, np.eye(3), atol=1e-4)
+    assert np.linalg.norm(t_) < 0.05 and np.isfinite(info["weights"]).all()
+
+
 def test_packed_duplicate_points_tiebreak(rng):
     """Exact-duplicate points: packed keys still pick the lowest window lane
     among true ties (same as the exact kernel's lowest-index rule)."""
