@@ -380,11 +380,16 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     attribution). `knn_packed=True` additionally packs (distance, lane)
     into one int32 extraction key inside the k-NN kernel so each of the
     k=60 sweeps is a single min-reduction (window <= 1024; near-ties
-    within ~2^-13 relative d² may swap — FPFH histograms don't care).
-    Measured same-process on the real chip at N=2048 (BASELINE.md):
-    fused+packed W=768 is 252 pairs/s at ransac_branches=1 and 195 at the
-    robust default, vs 'approx' at 169; the 20-seed scenario table matches
-    'approx' at every overlap under the default branches. The banded
+    within ~2^-13 relative d² may swap — FPFH histograms don't care);
+    `knn_packed='chunked'` upgrades that to two-level interleaved-chunk
+    extraction (see knn_pallas — identical neighbor sets at the k=60/W=768
+    operating point, measured on chip). Measured same-process carry-chained
+    on the real chip at N=2048 (BASELINE.md round-5 tables): fused+chunked
+    W=768 is ~240 pairs/s at ransac_branches=1 and ~190 at the robust
+    default, vs 'approx' at ~165; the 20-seed scenario table matches the
+    exact-knob column at every overlap under the default branches, and the
+    k-NN stage sits at its measured structural floor (BASELINE.md ceiling
+    analysis — extraction arithmetic is not the bound). The banded
     contractions REQUIRE Precision.HIGHEST: at the TPU default (bf16
     operands) the moment cancellation inside the normals collapsed to
     garbage, measured as 1/3 at 60% overlap — pinned by
