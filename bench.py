@@ -431,12 +431,12 @@ def main():
         glob_v, _ = bench_global(batch_sizes=(1,), n=args.n,
                                  iters=args.iters, verbose=args.verbose,
                                  knn_method="fused", window=768,
-                                 knn_packed=True, ransac_branches=4)
+                                 knn_packed="chunked", ransac_branches=4)
         out["global_reg_pairs_per_sec"] = round(glob_v, 2)
         glob_s, _ = bench_global(batch_sizes=(1,), n=args.n,
                                  iters=args.iters, verbose=args.verbose,
                                  knn_method="fused", window=768,
-                                 knn_packed=True, ransac_branches=1)
+                                 knn_packed="chunked", ransac_branches=1)
         out["global_reg_speed_mode_pairs_per_sec"] = round(glob_s, 2)
     print(json.dumps(out))
 

@@ -340,10 +340,10 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     ICP in one batched program, and the branch with the smallest trimmed NN
     surface residual wins (_branch_verify_ms; verification must happen at
     each branch's own local optimum — scoring unrefined poses inverts the
-    decision, measured). 20-seed 40%-overlap suite: 16/20 under the fast
-    fused config and 19/20 under exact CPU knobs, vs 9-16/20 at
-    branches=1 depending on knn_method — and the chaotic per-seed flips
-    near the vote tie disappear, because the answer no longer rides a
+    decision, measured). 20-seed 40%-overlap suite (BASELINE.md): 19/20
+    under exact CPU knobs and 16-17/20 under every TPU knob set, vs
+    15-16/20 (CPU) / 12-13/20 (fused TPU) at branches=1 — the chaotic
+    flips near the vote tie shrink because the answer no longer rides a
     single argmax. Cost: the branch stack multiplies only the IRLS/ICP
     tail (~-23% throughput at the fused default). Set ransac_branches=1
     for the pure-speed mode. `ransac_vote` ('count' | 'msac') picks the
@@ -386,10 +386,14 @@ def register_fpfh(src_pts, tgt_pts, *, n_points: int = 2048,
     operating point, measured on chip). Measured same-process carry-chained
     on the real chip at N=2048 (BASELINE.md round-5 tables): fused+chunked
     W=768 is ~240 pairs/s at ransac_branches=1 and ~190 at the robust
-    default, vs 'approx' at ~165; the 20-seed scenario table matches the
-    exact-knob column at every overlap under the default branches, and the
-    k-NN stage sits at its measured structural floor (BASELINE.md ceiling
-    analysis — extraction arithmetic is not the bound). The banded
+    default, vs 'approx' at ~165. Quality on the 20-seed scenario suite
+    (BASELINE.md TPU columns): fused matches approx/exact within noise at
+    full and 40% overlap but trails at 60% (16/20 vs 20/20 at W=768;
+    18/20 at window=1024) — the window's ~0.93 neighbor recall is the one
+    measured cost of this speed mode; the default 'approx' does not have
+    it. The k-NN stage itself sits at its measured structural floor
+    (BASELINE.md ceiling analysis — extraction arithmetic is not the
+    bound). The banded
     contractions REQUIRE Precision.HIGHEST: at the TPU default (bf16
     operands) the moment cancellation inside the normals collapsed to
     garbage, measured as 1/3 at 60% overlap — pinned by
