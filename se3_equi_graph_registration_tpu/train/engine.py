@@ -292,6 +292,10 @@ def _apply_morton_fast(model, cfg, params, batch):
         if cfg.egnn_impl == "pallas" and not interp:
             # fused window-knn kernel (same neighbor sets/tie-breaks as the
             # XLA builder; tile must match the EGCL kernel's tile_t)
+            # packed, NOT chunked: the two-level chunked extraction is for
+            # the k=60 descriptor regime — at k=16/W=384 it measured 15%
+            # SLOWER end-to-end (27.2 vs 23.6 ms at B=64, 3 alternated
+            # reps: too few sweeps to amortize its transposed-tile setup)
             from ..ops.pallas.knn_kernel import knn_pallas
             nbr = knn_pallas(xs, cfg.k, tile_t=tile, window=window,
                              packed=cfg.knn_packed and window <= 1024)
